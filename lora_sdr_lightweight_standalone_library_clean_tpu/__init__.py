@@ -1,0 +1,17 @@
+"""TPU-native LoRa PHY framework.
+
+A from-scratch JAX/XLA re-design of the LoRa-SDR lightweight standalone
+library (reference: yakir1991/LoRa-SDR-Lightweight-Standalone-Library-clean)
+for TPU hardware: batched, jittable, mesh-shardable chirp-spread-spectrum
+TX/RX with an MXU-native DFT core.
+"""
+from .utils.config import LoraParams, Window, load_profiles, params_from_profile, STOCK_PROFILES
+from .utils import errors
+from .models.modem import (
+    encode, decode, modulate, demodulate, estimate_offsets,
+    compensate_offsets, dechirp, to_complex, from_complex, crc_sx1272,
+    DemodResult, OffsetEstimate,
+)
+from .models.tones import demodulate_tones
+
+__version__ = "0.1.0"

@@ -1,0 +1,401 @@
+"""Full-fidelity LoRa modem pipeline: encode/modulate/demodulate/decode.
+
+TPU-native re-design of the reference workspace API (``src/phy/phy.cpp``,
+``include/lora_phy/phy.hpp``).  The reference mutates a caller-owned
+workspace and processes one packet, one symbol, one sample at a time.  Here
+every function is pure, jittable, and batched over arbitrary leading axes
+(packets/channels), with metrics returned as arrays instead of stored in a
+mutable struct (SURVEY.md §5.5).
+
+IQ is carried as separate float32 (re, im) planes because the target TPU
+backend has no complex dtype; helpers convert at the host boundary.
+
+Reference parity map:
+ - ``encode``             -> phy.cpp:58-66  + LoRaEncoder.cpp:6-18
+ - ``decode``             -> phy.cpp:245-261 + LoRaDecoder.cpp:7-21
+ - ``modulate``           -> phy.cpp:68-79  + LoRaMod.cpp:8-43
+ - ``demodulate``         -> phy.cpp:182-243
+ - ``estimate_offsets``   -> phy.cpp:81-148
+ - ``compensate_offsets`` -> phy.cpp:150-180
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import codes
+from ..ops.chirp import modulate_ri, downchirp_ri
+from ..ops.detect import detect_ri
+from ..utils.config import LoraParams, Window
+from ..utils.errors import InvalidArgumentError, RangeError
+
+__all__ = [
+    "DemodResult", "OffsetEstimate",
+    "encode", "decode", "crc_sx1272",
+    "modulate", "demodulate",
+    "estimate_offsets", "compensate_offsets",
+    "window_table", "to_complex", "from_complex", "dechirp",
+]
+
+TWO_PI = np.float32(2.0 * np.pi)
+PI_F = np.float32(np.pi)
+
+
+class OffsetEstimate(NamedTuple):
+    cfo: jnp.ndarray          # carrier frequency offset (fraction of bin/N)
+    time_offset: jnp.ndarray  # timing offset in oversampled samples
+
+
+class DemodResult(NamedTuple):
+    symbols: jnp.ndarray      # (..., S) detected data symbols
+    sync_word: jnp.ndarray    # (...,) recovered sync byte
+    cfo: jnp.ndarray
+    time_offset: jnp.ndarray
+    power: jnp.ndarray        # (..., S+2) per-symbol fundamental power dB
+    power_avg: jnp.ndarray    # (..., S+2) per-symbol noise floor dB
+
+
+# ---------------------------------------------------------------------------
+# Codec  (LoRaEncoder.cpp / LoRaDecoder.cpp / phy.cpp:245-261)
+# ---------------------------------------------------------------------------
+
+def encode(payload, params: LoraParams | None = None):
+    """Bytes -> Hamming(8,4) symbols, one codeword per nibble
+    (LoRaEncoder.cpp:6-18).  Batched over leading axes."""
+    del params  # sf/cr unused, mirroring LoRaEncoder.cpp:7
+    p = jnp.asarray(payload, jnp.int32)
+    hi = codes_lut_enc84(p >> 4)
+    lo = codes_lut_enc84(p & 0xF)
+    sym = jnp.stack([hi, lo], axis=-1)
+    return sym.reshape(p.shape[:-1] + (p.shape[-1] * 2,)).astype(jnp.uint16)
+
+
+@functools.lru_cache(maxsize=1)
+def _enc84_const():
+    return codes.HAMMING84_ENCODE_LUT.astype(np.int32)
+
+
+def codes_lut_enc84(nib):
+    return jnp.take(jnp.asarray(_enc84_const()), nib, axis=0)
+
+
+@functools.lru_cache(maxsize=1)
+def _dec84_const():
+    return codes.HAMMING84_DECODE_LUT.astype(np.int32)
+
+
+def crc_sx1272(data, length: int | None = None):
+    """Batched SX1272 CRC-16 over the last axis (LoRaCodes.hpp:92-105).
+
+    The byte loop is a ``lax.scan`` with a 256-entry table step; the
+    length-dependent LFSR mask bytes are host-precomputed constants
+    (codes.crc_mask_pair).
+    """
+    d = jnp.asarray(data, jnp.int32)
+    n = d.shape[-1] if length is None else length
+    table = jnp.asarray(codes.crc16_table().astype(np.int32))
+
+    def step(res, byte):
+        crc = ((res << 8) & 0xFFFF) ^ jnp.take(table, res >> 8, axis=0)
+        return crc ^ byte, None
+
+    res0 = jnp.zeros(d.shape[:-1], jnp.int32)
+    res, _ = lax.scan(step, res0, jnp.moveaxis(d[..., :n], -1, 0))
+    m0, m1 = codes.crc_mask_pair(n)
+    return (res ^ m0 ^ (m1 << 8)).astype(jnp.uint16)
+
+
+def decode(symbols, params: LoraParams | None = None, *,
+           check_crc: bool = True):
+    """Symbol pairs -> bytes via Hamming(8,4) decode, plus CRC verdict
+    (LoRaDecoder.cpp:7-21, phy.cpp:245-261).
+
+    Returns ``(payload, crc_ok)``; ``crc_ok`` is a boolean array over the
+    batch axes (False when fewer than 4 bytes decode, phy.cpp:257-258).
+    """
+    del params
+    s = jnp.asarray(symbols, jnp.int32)
+    if s.shape[-1] % 2 != 0:
+        raise InvalidArgumentError(
+            f"symbol count must be even, got {s.shape[-1]}")
+    lut = jnp.asarray(_dec84_const())
+    nib = jnp.take(lut, s & 0xFF, axis=0)
+    hi = nib[..., 0::2] & 0xF
+    lo = nib[..., 1::2] & 0xF
+    payload = ((hi << 4) | lo).astype(jnp.uint8)
+    k = payload.shape[-1]
+    if not check_crc:
+        return payload, jnp.zeros(payload.shape[:-1], bool)
+    if k >= 4:
+        provided = (payload[..., k - 2].astype(jnp.int32)
+                    | (payload[..., k - 1].astype(jnp.int32) << 8))
+        calc = crc_sx1272(payload[..., 2:k - 2]).astype(jnp.int32)
+        crc_ok = provided == calc
+    else:
+        crc_ok = jnp.zeros(payload.shape[:-1], bool)
+    return payload, crc_ok
+
+
+# ---------------------------------------------------------------------------
+# Modulation  (phy.cpp:68-79)
+# ---------------------------------------------------------------------------
+
+def modulate(symbols, params: LoraParams, amplitude: float = 1.0):
+    """Symbols -> IQ planes; sync prelude + phase-continuous up-chirps.
+
+    Returns (re, im) float32 of shape (..., (S+2) * step).
+    """
+    return modulate_ri(symbols, params, amplitude)
+
+
+# ---------------------------------------------------------------------------
+# Window tables  (phy.cpp:39-50)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def window_table(n: int, kind: Window) -> np.ndarray | None:
+    if kind == Window.NONE:
+        return None
+    i = np.arange(n, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * i / (n - 1.0))).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Offset estimation  (phy.cpp:81-148 / LoRaDemod.cpp:80-136)
+# ---------------------------------------------------------------------------
+
+def _wrap_pi(d):
+    """Wrap a phase delta into [-pi, pi] (phy.cpp:128-131)."""
+    d = jnp.where(d > PI_F, d - TWO_PI, d)
+    return jnp.where(d < -PI_F, d + TWO_PI, d)
+
+
+def _best_over_osr(det, osr: int, tie_break_idx: bool):
+    """Sequentially select the best oversampling phase t per symbol.
+
+    Mirrors the exact comparison chain: strictly-greater power
+    (phy.cpp:116-123) or, for the legacy path, equal-power lowest-index
+    (LoRaDemod.cpp:102-111).  ``det`` fields have shape (..., osr).
+    """
+    neg = jnp.float32(-1e30)
+    best_p = jnp.full(det.power.shape[:-1], neg)
+    best_idx = jnp.zeros(best_p.shape, jnp.int32)
+    best_f = jnp.zeros(best_p.shape, jnp.float32)
+    best_t = jnp.zeros(best_p.shape, jnp.int32)
+    best_br = jnp.zeros(best_p.shape, jnp.float32)
+    best_bi = jnp.zeros(best_p.shape, jnp.float32)
+    for t in range(osr):
+        p = det.power[..., t]
+        idx = det.index[..., t]
+        better = p > best_p
+        if tie_break_idx:
+            better = better | ((p == best_p) & (idx < best_idx))
+        best_idx = jnp.where(better, idx, best_idx)
+        best_f = jnp.where(better, det.findex[..., t], best_f)
+        best_t = jnp.where(better, t, best_t)
+        best_br = jnp.where(better, det.bin_re[..., t], best_br)
+        best_bi = jnp.where(better, det.bin_im[..., t], best_bi)
+        best_p = jnp.where(better, p, best_p)
+    return best_p, best_idx, best_f, best_t, best_br, best_bi
+
+
+def _estimate_core(iq_r, iq_i, params: LoraParams, est_syms: int,
+                   tie_break_idx: bool) -> OffsetEstimate:
+    """Shared CFO/timing estimator over the first ``est_syms`` symbols.
+
+    Per symbol, every oversampling phase is windowed and detected; the best
+    phase's (index + fractional index) average gives the coarse CFO, the
+    wrapped inter-symbol phase delta of the winning bin gives the fine CFO,
+    and the average winning phase minus the fractional part gives the timing
+    offset (phy.cpp:100-147).
+    """
+    n, osr, step = params.n, params.osr, params.step
+    sym = iq_r[..., : est_syms * step].reshape(iq_r.shape[:-1] + (est_syms, n, osr))
+    symi = iq_i[..., : est_syms * step].reshape(iq_i.shape[:-1] + (est_syms, n, osr))
+    # axes (..., s, i, t) -> (..., s, t, i)
+    zr = jnp.moveaxis(sym, -1, -2)
+    zi = jnp.moveaxis(symi, -1, -2)
+    win = window_table(n, params.window)
+    if win is not None:
+        w = jnp.asarray(win)
+        zr = zr * w
+        zi = zi * w
+    det = detect_ri(zr, zi)
+    # reorder fields to (..., s, t) with t last for selection
+    best_p, best_idx, best_f, best_t, best_br, best_bi = _best_over_osr(
+        det, osr, tie_break_idx)
+
+    sum_index = jnp.sum(best_idx.astype(jnp.float32) + best_f, axis=-1)
+    sum_t = jnp.sum(best_t, axis=-1)
+    phase = jnp.arctan2(best_bi, best_br)                      # std::arg
+    if est_syms > 1:
+        deltas = _wrap_pi(phase[..., 1:] - phase[..., :-1])
+        phase_diff = jnp.sum(deltas, axis=-1)
+        cfo_fine = (phase_diff / np.float32(est_syms - 1)) / (TWO_PI * n)
+    else:
+        cfo_fine = jnp.zeros(sum_index.shape, jnp.float32)
+    avg_index = sum_index / np.float32(est_syms)
+    cfo = avg_index / np.float32(n) + cfo_fine
+    frac = avg_index - jnp.floor(avg_index + 0.5)
+    avg_t = sum_t.astype(jnp.float32) / np.float32(est_syms)
+    time_offset = avg_t - frac * np.float32(n) * np.float32(osr)
+    return OffsetEstimate(cfo, time_offset)
+
+
+def estimate_offsets(iq_r, iq_i, params: LoraParams) -> OffsetEstimate:
+    """Estimate CFO and timing offset from preamble symbols (phy.cpp:81-148).
+
+    Uses every whole symbol present in the input, matching the reference's
+    symbol loop.  Batched over leading axes.
+    """
+    symbols = iq_r.shape[-1] // params.step
+    if symbols == 0:
+        raise InvalidArgumentError("need at least one whole symbol")
+    return _estimate_core(iq_r, iq_i, params, symbols, tie_break_idx=False)
+
+
+def compensate_offsets(iq_r, iq_i, params: LoraParams, est: OffsetEstimate):
+    """Derotate by -CFO then integer-shift by the timing offset with
+    zero-fill (phy.cpp:150-180).  Batched; returns new (re, im)."""
+    n, osr = params.n, params.osr
+    count = iq_r.shape[-1]
+    rate = -TWO_PI * est.cfo / np.float32(n * osr)             # (...,)
+    ns = jnp.arange(count, dtype=jnp.float32)
+    ph = rate[..., None] * ns
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    rr = iq_r * c - iq_i * s
+    ri = iq_r * s + iq_i * c
+    off = jnp.round(est.time_offset).astype(jnp.int32)         # (...,)
+    # shift right by off (>0) with leading zeros, left by -off with trailing
+    idx = jnp.arange(count, dtype=jnp.int32)
+    src = idx[None, ...] - off[..., None] if off.ndim else idx - off
+    valid_pos = (off > 0) & (off < count)
+    valid_neg = (off < 0) & (-off < count)
+    do_shift = valid_pos | valid_neg
+    src_c = jnp.clip(src, 0, count - 1)
+    shifted_r = jnp.take_along_axis(rr, src_c, axis=-1) if rr.ndim == src_c.ndim else rr[src_c]
+    shifted_i = jnp.take_along_axis(ri, src_c, axis=-1) if ri.ndim == src_c.ndim else ri[src_c]
+    in_bounds = (src >= 0) & (src < count)
+    shifted_r = jnp.where(in_bounds, shifted_r, 0.0)
+    shifted_i = jnp.where(in_bounds, shifted_i, 0.0)
+    do = do_shift[..., None] if do_shift.ndim else do_shift
+    return (jnp.where(do, shifted_r, rr), jnp.where(do, shifted_i, ri))
+
+
+# ---------------------------------------------------------------------------
+# Full-RX demodulation  (phy.cpp:182-243)
+# ---------------------------------------------------------------------------
+
+def _symbol_bases(total: int, step: int, sample_count: int, t_off):
+    """Per-symbol gather base indices with the timing-shift clamps of
+    phy.cpp:209-216.  ``t_off`` is a batched int32 scalar."""
+    s = jnp.arange(total, dtype=jnp.int32) * step              # (S,)
+    t = t_off[..., None] if t_off.ndim else t_off              # broadcast
+    base_pos = jnp.where(s + t + step <= sample_count, s + t, s)
+    base_neg = jnp.where((-t) <= s, s + t, s)
+    return jnp.where(t > 0, base_pos, jnp.where(t < 0, base_neg, s))
+
+
+def demodulate(iq_r, iq_i, params: LoraParams,
+               symbol_cap: int | None = None) -> DemodResult:
+    """Full-fidelity RX: offset estimation, dechirp, CFO derotation,
+    windowing, detection, sync-word extraction (phy.cpp:182-243).
+
+    ``iq`` length must be a whole number of oversampled symbols and contain
+    at least the two sync symbols; the first two detections become the sync
+    word, the rest the data symbols.
+    """
+    n, osr, step = params.n, params.osr, params.step
+    sample_count = iq_r.shape[-1]
+    if sample_count % step != 0:
+        raise InvalidArgumentError(
+            f"sample count {sample_count} not a multiple of step {step}")
+    total = sample_count // step
+    if total < 2:
+        raise RangeError("input must contain at least two symbols")
+    num_symbols = total - 2
+    if symbol_cap is not None and num_symbols > symbol_cap:
+        raise RangeError(f"{num_symbols} symbols exceed cap {symbol_cap}")
+
+    est_syms = min(total, 2)
+    est = _estimate_core(iq_r, iq_i, params, est_syms, tie_break_idx=False)
+    t_off = jnp.round(est.time_offset).astype(jnp.int32)
+    rate = -TWO_PI * est.cfo / np.float32(n)                   # (...,)
+
+    bases = _symbol_bases(total, step, sample_count, t_off)    # (..., S)
+    i = jnp.arange(n, dtype=jnp.int32) * osr                   # (n,)
+    gather = bases[..., :, None] + i                           # (..., S, n)
+    zr = jnp.take_along_axis(iq_r[..., None, :], gather, axis=-1)
+    zi = jnp.take_along_axis(iq_i[..., None, :], gather, axis=-1)
+
+    # CFO derotation phase: start + rate*i  (phy.cpp:218-225)
+    s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(n)
+    start = rate[..., None] * (s_idx + t_off.astype(jnp.float32)[..., None]
+                               / np.float32(osr))              # (..., S)
+    ph = start[..., None] + rate[..., None, None] * jnp.arange(
+        n, dtype=jnp.float32)
+    cr_, sr_ = jnp.cos(ph), jnp.sin(ph)
+
+    dcr, dci = downchirp_ri(params.sf, params.bw_scale)        # host consts
+    dcr = jnp.asarray(dcr)
+    dci = jnp.asarray(dci)
+    # samp = iq * downchirp * cis(ph)   (complex product of three terms)
+    ar = zr * dcr - zi * dci
+    ai = zr * dci + zi * dcr
+    fr = ar * cr_ - ai * sr_
+    fi = ar * sr_ + ai * cr_
+
+    win = window_table(n, params.window)
+    if win is not None:
+        w = jnp.asarray(win)
+        fr = fr * w
+        fi = fi * w
+
+    det = detect_ri(fr, fi)                                    # (..., S)
+    idx = det.index
+    sw0, sw1 = idx[..., 0], idx[..., 1]
+    shift = params.sf - 4 if params.sf > 4 else 0
+    sync = (((sw0 >> shift) & 0xF) << 4) | ((sw1 >> shift) & 0xF)
+    return DemodResult(
+        symbols=idx[..., 2:].astype(jnp.uint16),
+        sync_word=sync.astype(jnp.uint8),
+        cfo=est.cfo,
+        time_offset=est.time_offset,
+        power=det.power,
+        power_avg=det.power_avg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-boundary helpers
+# ---------------------------------------------------------------------------
+
+def to_complex(re, im) -> np.ndarray:
+    """Assemble host complex64 IQ from device planes."""
+    return np.asarray(re).astype(np.float32) + 1j * np.asarray(im).astype(np.float32)
+
+
+def from_complex(iq) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Split host complex IQ into float32 planes."""
+    iq = np.asarray(iq)
+    return (jnp.asarray(iq.real.astype(np.float32)),
+            jnp.asarray(iq.imag.astype(np.float32)))
+
+
+def dechirp(iq_r, iq_i, params: LoraParams):
+    """Multiply each symbol window by the base down-chirp — the external
+    dechirp step of the golden-vector path (tests/e2e_chain_test.cpp:79-93)."""
+    step = params.step
+    total = iq_r.shape[-1] // step
+    dcr, dci = downchirp_ri(params.sf, params.bw_scale, params.osr)
+    dcr = jnp.asarray(np.tile(dcr, total))
+    dci = jnp.asarray(np.tile(dci, total))
+    cut = total * step
+    rr = iq_r[..., :cut] * dcr - iq_i[..., :cut] * dci
+    ri = iq_r[..., :cut] * dci + iq_i[..., :cut] * dcr
+    return rr, ri

@@ -1,0 +1,26 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh.
+
+The container's sitecustomize force-registers the axon TPU platform, so the
+platform must be overridden via jax.config (env vars alone are ignored).
+Shardings are validated on a forced 8-device CPU platform; the driver
+separately dry-runs the multi-chip path (see __graft_entry__.dryrun_multichip).
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_golden(name: str) -> str | None:
+    """Path to a reference golden-vector file, or None when unavailable."""
+    path = os.path.join(REFERENCE_DIR, "vectors", "golden", name)
+    return path if os.path.exists(path) else None
