@@ -13,5 +13,8 @@ from .models.modem import (
     DemodResult, OffsetEstimate,
 )
 from .models.tones import demodulate_tones
+from .models import lorawan, sweep
+from .ops import channel
+from .parallel import mesh, streaming
 
 __version__ = "0.1.0"

@@ -86,8 +86,8 @@ _HDR_PARITY = np.array(
         # a3 a2 a1 a0 b3 b2 b1 b0 c3 c2 c1 c0
         [1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0],  # bit4 = a0^a1^a2^a3
         [1, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 1],  # bit3 = a3^b1^b2^b3^c0
-        [0, 1, 0, 0, 1, 0, 0, 1, 0, 1, 0, 1],  # bit2 = a2^b0^b3^c1^c3
-        [0, 0, 1, 0, 0, 1, 0, 1, 0, 0, 1, 1],  # bit1 = a1^b0^b2^c0^c1^c2
+        [0, 1, 0, 0, 1, 0, 0, 1, 1, 0, 1, 0],  # bit2 = a2^b0^b3^c1^c3
+        [0, 0, 1, 0, 0, 1, 0, 1, 0, 1, 1, 1],  # bit1 = a1^b0^b2^c0^c1^c2
         [0, 0, 0, 1, 0, 0, 1, 0, 1, 1, 1, 1],  # bit0 = a0^b1^c0^c1^c2^c3
     ],
     dtype=np.uint8,

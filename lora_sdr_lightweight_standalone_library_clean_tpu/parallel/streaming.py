@@ -1,0 +1,141 @@
+"""Overlap-save streaming detection across a device mesh.
+
+Sequence-parallel analog for a DSP stream (SURVEY §5.7): a continuous IQ
+stream is split into contiguous time blocks sharded over the mesh's ``sp``
+axis.  Each device scans every symbol-aligned window that *starts* in its
+block (deterministic ownership), which requires a halo of the next block's
+leading samples — exchanged with a single ``ppermute`` over ICI, never
+through host memory.
+
+The per-window work (dechirp -> DFT -> argmax) reuses the batched detector,
+so the hot loop is identical to the single-chip path; the only collective
+traffic is the halo (2 sync symbols worth of samples) and any small metric
+reductions — which is why near-linear scaling is expected (BASELINE.md).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.chirp import downchirp_ri
+from ..ops.detect import detect_ri
+from ..utils.config import LoraParams
+
+__all__ = ["StreamScan", "stream_scan", "find_sync_starts"]
+
+
+class StreamScan(NamedTuple):
+    """Per symbol-offset detection over the stream (leading axes preserved).
+
+    ``index[w]``/``power[w]`` describe the window starting at sample
+    ``w * step``."""
+
+    index: jnp.ndarray
+    power: jnp.ndarray
+    power_avg: jnp.ndarray
+
+
+def _scan_block(iq_r, iq_i, halo_r, halo_i, params: LoraParams, stride: int):
+    """Detect every stride-aligned window starting in [block]; windows whose
+    tail crosses the block edge read from the halo."""
+    n, osr = params.n, params.osr
+    ext_r = jnp.concatenate([iq_r, halo_r], axis=-1)
+    ext_i = jnp.concatenate([iq_i, halo_i], axis=-1)
+    windows = iq_r.shape[-1] // stride
+    starts = jnp.arange(windows, dtype=jnp.int32) * stride
+    gather = starts[:, None] + jnp.arange(n, dtype=jnp.int32) * osr
+    zr = ext_r[..., gather] if ext_r.ndim == 1 else jnp.take_along_axis(
+        ext_r[..., None, :], gather, axis=-1)
+    zi = ext_i[..., gather] if ext_i.ndim == 1 else jnp.take_along_axis(
+        ext_i[..., None, :], gather, axis=-1)
+    dcr, dci = downchirp_ri(params.sf, params.bw_scale)
+    dcr = jnp.asarray(dcr)
+    dci = jnp.asarray(dci)
+    fr = zr * dcr - zi * dci
+    fi = zr * dci + zi * dcr
+    det = detect_ri(fr, fi)
+    return det.index, det.power, det.power_avg
+
+
+def stream_scan(iq_r, iq_i, params: LoraParams, mesh: Mesh | None = None,
+                axis: str = "sp", stride: int | None = None) -> StreamScan:
+    """Dechirp-detect every ``stride``-aligned window of a continuous stream.
+
+    ``stride`` defaults to a full symbol; a sub-symbol stride (e.g. step//2)
+    finds packets at arbitrary half-symbol alignments — those windows cross
+    block boundaries, which is exactly what the halo exchange covers.
+
+    With a mesh, the time axis must divide evenly over ``axis``; each shard
+    fetches a one-symbol halo from its right neighbour via ``ppermute`` and
+    scans the windows *starting* in its block (deterministic ownership).
+    Without a mesh, runs the identical computation single-device.
+    """
+    step = params.step
+    if stride is None:
+        stride = step
+    total = iq_r.shape[-1]
+    if total % stride != 0:
+        raise ValueError(
+            f"stream length {total} not a multiple of stride {stride}")
+
+    if mesh is None:
+        halo_r = jnp.zeros(iq_r.shape[:-1] + (step,), jnp.float32)
+        idx, p, pav = _scan_block(iq_r, iq_i, halo_r, halo_r, params, stride)
+        return StreamScan(idx, p, pav)
+
+    n_shards = mesh.shape[axis]
+    if (total // stride) % n_shards != 0:
+        raise ValueError(
+            f"{total // stride} windows not divisible by {n_shards} shards")
+
+    def block_fn(br, bi):
+        # br: (..., block) local shard. Fetch right-neighbour's leading
+        # `step` samples; the last shard gets zeros (end of stream).
+        lead_r = lax.slice_in_dim(br, 0, step, axis=-1)
+        lead_i = lax.slice_in_dim(bi, 0, step, axis=-1)
+        perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        halo_r = lax.ppermute(lead_r, axis, perm)
+        halo_i = lax.ppermute(lead_i, axis, perm)
+        my = lax.axis_index(axis)
+        is_last = (my == n_shards - 1)
+        halo_r = jnp.where(is_last, jnp.zeros_like(halo_r), halo_r)
+        halo_i = jnp.where(is_last, jnp.zeros_like(halo_i), halo_i)
+        idx, p, pav = _scan_block(br, bi, halo_r, halo_i, params, stride)
+        return idx, p, pav
+
+    spec_in = P(*([None] * (iq_r.ndim - 1) + [axis]))
+    spec_out = P(*([None] * (iq_r.ndim - 1) + [axis]))
+    fn = shard_map(block_fn, mesh=mesh, in_specs=(spec_in, spec_in),
+                   out_specs=(spec_out, spec_out, spec_out))
+    idx, p, pav = fn(iq_r, iq_i)
+    return StreamScan(idx, p, pav)
+
+
+def find_sync_starts(scan: StreamScan, params: LoraParams,
+                     power_gate_db: float = 10.0,
+                     stride: int | None = None) -> jnp.ndarray:
+    """Boolean mask of windows that look like the start of a packet's sync
+    prelude: two sync-symbol detections one symbol apart matching the
+    configured sync-word nibbles, with fundamental power above the noise
+    floor by ``power_gate_db``.  ``stride`` must match the stream_scan call
+    (default: one symbol)."""
+    step = params.step
+    if stride is None:
+        stride = step
+    hop = step // stride  # windows per symbol
+    sw0, sw1 = params.sync_nibble_symbols()
+    bs = params.bw_scale
+    n = params.n
+    idx = scan.index
+    strong = (scan.power - scan.power_avg) > power_gate_db
+    m0 = (idx == (sw0 * bs) % n) & strong
+    m1 = (idx == (sw1 * bs) % n) & strong
+    nxt = jnp.concatenate(
+        [m1[..., hop:], jnp.zeros(m1.shape[:-1] + (hop,), bool)], axis=-1)
+    return m0 & nxt
