@@ -40,38 +40,41 @@ PAYLOAD_SIZE = 32
 
 
 def make_step(params: L.LoraParams):
-    """The timed pipeline: modulate + dechirp + demodulate (batched)."""
+    """The timed pipeline: modulate + dechirp + demodulate (batched).
+    Returns a tiny checksum so the host fetch that forces completion moves
+    four bytes, not the IQ."""
 
     @jax.jit
     def step(symbols):
         re, im = L.modulate(symbols, params)
         dr, di = L.dechirp(re, im, params)
         res = L.demodulate_tones(dr, di, params)
-        return res.symbols
+        return jnp.sum(res.symbols.astype(jnp.int32))
 
     return step
 
 
-def bench_profile(profile: dict, batch: int, iters: int = 8,
-                  warmup: int = 2) -> float:
+def bench_profile(profile: dict, batch: int, iters: int = 6) -> float:
+    """Time iters fetched pipeline calls.  The device tunnel costs ~30 ms
+    per fetch; the batch is sized so each call does >= 10x that in compute,
+    and the residual overhead under-reports (never inflates) throughput."""
     params = L.params_from_profile(profile)
     payloads = np.tile(np.arange(PAYLOAD_SIZE, dtype=np.uint8),
                        (batch, 1))
     symbols = jnp.asarray(np.asarray(L.encode(payloads)))
     step = make_step(params)
-    for _ in range(warmup):
-        step(symbols).block_until_ready()
+    np.asarray(step(symbols))  # compile + run + fetch (warmup)
     t0 = time.perf_counter()
     for _ in range(iters):
-        step(symbols).block_until_ready()
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+        np.asarray(step(symbols))  # fetch forces completion
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
 
 
 def main():
     run_id = os.environ.get("RUN_ID", "run")
     # batch sized so each profile's IQ working set stays comfortable in HBM
-    batches = {7: 4096, 8: 2048, 9: 1024, 10: 512, 11: 256, 12: 128}
+    batches = {7: 8192, 8: 4096, 9: 2048, 10: 1024, 11: 512, 12: 256}
     results = {}
     for profile in L.STOCK_PROFILES:
         name = profile["name"]

@@ -301,8 +301,70 @@ def _symbol_bases(total: int, step: int, sample_count: int, t_off):
     return jnp.where(t > 0, base_pos, jnp.where(t < 0, base_neg, s))
 
 
+def _timing_shifted_windows(iq_r, iq_i, t_off, total: int, step: int,
+                            osr: int, n: int):
+    """Extract per-symbol decimated windows with the reference's per-symbol
+    timing-shift clamps (phy.cpp:209-216) — gather-free.
+
+    A broadcast take_along_axis with data-dependent indices is ~30x slower
+    than the rest of the RX chain on TPU, so instead: one per-packet
+    dynamic_slice produces the t_off-shifted stream, both shifted and
+    unshifted streams reshape statically into symbol windows, and a (B, S)
+    boolean select picks per symbol — exactly the reference's clamp rule.
+    """
+    sample_count = total * step
+    batched = iq_r.ndim > 1
+    t = t_off if batched else t_off[None]
+    r2 = iq_r if batched else iq_r[None]
+    i2 = iq_i if batched else iq_i[None]
+    lead = r2.shape[:-1]
+
+    # |t_off| < step by construction (avg_t < osr plus a half-symbol
+    # fraction, phy.cpp:144-147); pad one step each side and clamp
+    # defensively so the slice stays in range.
+    tc = jnp.clip(t, -step, step)
+    pad_r = jnp.pad(r2.reshape(-1, sample_count), ((0, 0), (step, step)))
+    pad_i = jnp.pad(i2.reshape(-1, sample_count), ((0, 0), (step, step)))
+
+    def shift_one(row_r, row_i, ti):
+        start = (step + ti,)
+        return (lax.dynamic_slice(row_r, start, (sample_count,)),
+                lax.dynamic_slice(row_i, start, (sample_count,)))
+
+    sh_r, sh_i = jax.vmap(shift_one)(pad_r, pad_i, tc.reshape(-1))
+    wr = sh_r.reshape(lead + (total, step))
+    wi = sh_i.reshape(lead + (total, step))
+
+    # With |t_off| < step, the per-symbol clamp (phy.cpp:209-216) can only
+    # fall back to the unshifted base at the edges: symbol 0 when t<0 and
+    # symbol S-1 when t>0.  Patch just those rows instead of materializing
+    # a full unshifted copy + select (saves two full passes over the IQ).
+    tb = t[..., None]                                           # (..., 1)
+    first_un_r = r2[..., :step]
+    first_un_i = i2[..., :step]
+    last_un_r = r2[..., (total - 1) * step:]
+    last_un_i = i2[..., (total - 1) * step:]
+    use_un_first = tb < 0                                       # (..., 1)
+    use_un_last = tb > 0
+    wr = wr.at[..., 0, :].set(
+        jnp.where(use_un_first, first_un_r, wr[..., 0, :]))
+    wi = wi.at[..., 0, :].set(
+        jnp.where(use_un_first, first_un_i, wi[..., 0, :]))
+    wr = wr.at[..., total - 1, :].set(
+        jnp.where(use_un_last, last_un_r, wr[..., total - 1, :]))
+    wi = wi.at[..., total - 1, :].set(
+        jnp.where(use_un_last, last_un_i, wi[..., total - 1, :]))
+    # decimate: sample i*osr within each window
+    wr = wr.reshape(lead + (total, n, osr))[..., 0]
+    wi = wi.reshape(lead + (total, n, osr))[..., 0]
+    if not batched:
+        wr, wi = wr[0], wi[0]
+    return wr, wi
+
+
 def demodulate(iq_r, iq_i, params: LoraParams,
-               symbol_cap: int | None = None) -> DemodResult:
+               symbol_cap: int | None = None,
+               backend: str = "auto") -> DemodResult:
     """Full-fidelity RX: offset estimation, dechirp, CFO derotation,
     windowing, detection, sync-word extraction (phy.cpp:182-243).
 
@@ -327,37 +389,24 @@ def demodulate(iq_r, iq_i, params: LoraParams,
     t_off = jnp.round(est.time_offset).astype(jnp.int32)
     rate = -TWO_PI * est.cfo / np.float32(n)                   # (...,)
 
-    bases = _symbol_bases(total, step, sample_count, t_off)    # (..., S)
-    i = jnp.arange(n, dtype=jnp.int32) * osr                   # (n,)
-    gather = bases[..., :, None] + i                           # (..., S, n)
-    zr = jnp.take_along_axis(iq_r[..., None, :], gather, axis=-1)
-    zi = jnp.take_along_axis(iq_i[..., None, :], gather, axis=-1)
+    zr, zi = _timing_shifted_windows(iq_r, iq_i, t_off, total, step, osr, n)
 
     # CFO derotation phase: start + rate*i  (phy.cpp:218-225)
     s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(n)
     start = rate[..., None] * (s_idx + t_off.astype(jnp.float32)[..., None]
                                / np.float32(osr))              # (..., S)
-    ph = start[..., None] + rate[..., None, None] * jnp.arange(
-        n, dtype=jnp.float32)
-    cr_, sr_ = jnp.cos(ph), jnp.sin(ph)
 
     dcr, dci = downchirp_ri(params.sf, params.bw_scale)        # host consts
     dcr = jnp.asarray(dcr)
     dci = jnp.asarray(dci)
-    # samp = iq * downchirp * cis(ph)   (complex product of three terms)
+    # dechirp: samp = iq * downchirp (phy.cpp:206-225); the CFO rotation and
+    # detection run in the fused kernel / jnp fallback
     ar = zr * dcr - zi * dci
     ai = zr * dci + zi * dcr
-    fr = ar * cr_ - ai * sr_
-    fi = ar * sr_ + ai * cr_
 
-    win = window_table(n, params.window)
-    if win is not None:
-        w = jnp.asarray(win)
-        fr = fr * w
-        fi = fi * w
-
-    det = detect_ri(fr, fi)                                    # (..., S)
-    idx = det.index
+    from .tones import _rotate_detect
+    idx, power, power_avg = _rotate_detect(ar, ai, rate, start, params,
+                                           backend)
     sw0, sw1 = idx[..., 0], idx[..., 1]
     shift = params.sf - 4 if params.sf > 4 else 0
     sync = (((sw0 >> shift) & 0xF) << 4) | ((sw1 >> shift) & 0xF)
@@ -366,8 +415,8 @@ def demodulate(iq_r, iq_i, params: LoraParams,
         sync_word=sync.astype(jnp.uint8),
         cfo=est.cfo,
         time_offset=est.time_offset,
-        power=det.power,
-        power_avg=det.power_avg,
+        power=power,
+        power_avg=power_avg,
     )
 
 

@@ -39,9 +39,11 @@ def _sweep_step(params: LoraParams, payload_len: int):
         dr, di = channel.awgn(key, dr, di, snr_db)
         res = demodulate_tones(dr, di, params)
         dec, crc_ok = decode(res.symbols, check_crc=True)
-        sym_err = jnp.mean(
-            (res.symbols != syms.astype(res.symbols.dtype)).astype(
-                jnp.float32))
+        # detected bins live in [0, N): compare against (sym*bs) mod N,
+        # the modulation's symbol->bin mapping (PARITY.md defect 2)
+        expect_bins = ((syms.astype(jnp.int32) * params.bw_scale)
+                       % params.n).astype(res.symbols.dtype)
+        sym_err = jnp.mean((res.symbols != expect_bins).astype(jnp.float32))
         bit_err = jnp.mean(_popcount8(jnp.bitwise_xor(
             dec.astype(jnp.int32), payloads.astype(jnp.int32)))) / 8.0
         pkt_err = jnp.mean(

@@ -19,14 +19,15 @@ import jax.numpy as jnp
 
 from ..ops.detect import detect_ri
 from ..utils.config import LoraParams
-from .modem import (_estimate_core, _symbol_bases, window_table,
+from .modem import (_estimate_core, _timing_shifted_windows, window_table,
                     TWO_PI, DemodResult)
 
 __all__ = ["demodulate_tones"]
 
 
 def demodulate_tones(iq_r, iq_i, params: LoraParams,
-                     normalize: bool = True) -> DemodResult:
+                     normalize: bool = True,
+                     backend: str = "auto") -> DemodResult:
     """Demodulate pre-dechirped samples (LoRaDemod.cpp:50-197).
 
     Matches the reference exactly, including:
@@ -47,40 +48,32 @@ def demodulate_tones(iq_r, iq_i, params: LoraParams,
     iq_i = iq_i[..., :cut]
 
     if normalize:
+        # one reduction pass for the peak; the scale multiplies the (much
+        # smaller) estimator slice and symbol windows instead of
+        # materializing a normalized copy of the whole stream
         max_amp = jnp.maximum(
             jnp.max(jnp.abs(iq_r), axis=-1), jnp.max(jnp.abs(iq_i), axis=-1))
         scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0)[..., None]
-        iq_r = iq_r * scale
-        iq_i = iq_i * scale
+    else:
+        scale = jnp.ones(iq_r.shape[:-1] + (1,), jnp.float32)
 
     est_syms = min(total, 2)
-    est = _estimate_core(iq_r, iq_i, params, est_syms, tie_break_idx=True)
+    est = _estimate_core(iq_r[..., : est_syms * step] * scale,
+                         iq_i[..., : est_syms * step] * scale,
+                         params, est_syms, tie_break_idx=True)
     t_off = jnp.round(est.time_offset).astype(jnp.int32)
     rate = -TWO_PI * est.cfo / np.float32(n)
 
-    bases = _symbol_bases(total, step, cut, t_off)             # (..., S)
-    i = jnp.arange(n, dtype=jnp.int32) * osr
-    gather = bases[..., :, None] + i
-    zr = jnp.take_along_axis(iq_r[..., None, :], gather, axis=-1)
-    zi = jnp.take_along_axis(iq_i[..., None, :], gather, axis=-1)
+    zr, zi = _timing_shifted_windows(iq_r, iq_i, t_off, total, step, osr, n)
+    zr = zr * scale[..., None]
+    zi = zi * scale[..., None]
 
     s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(n)
     start = rate[..., None] * (s_idx + t_off.astype(jnp.float32)[..., None]
                                / np.float32(osr))
-    ph = start[..., None] + rate[..., None, None] * jnp.arange(
-        n, dtype=jnp.float32)
-    c, s = jnp.cos(ph), jnp.sin(ph)
-    fr = zr * c - zi * s
-    fi = zr * s + zi * c
 
-    win = window_table(n, params.window)
-    if win is not None:
-        w = jnp.asarray(win)
-        fr = fr * w
-        fi = fi * w
-
-    det = detect_ri(fr, fi)
-    idx = det.index
+    idx, power, power_avg = _rotate_detect(zr, zi, rate, start, params,
+                                           backend)
     if have_sync:
         sw0, sw1 = idx[..., 0], idx[..., 1]
         shift = params.sf - 4 if params.sf > 4 else 0
@@ -94,6 +87,45 @@ def demodulate_tones(iq_r, iq_i, params: LoraParams,
         sync_word=sync.astype(jnp.uint8),
         cfo=est.cfo,
         time_offset=est.time_offset,
-        power=det.power,
-        power_avg=det.power_avg,
+        power=power,
+        power_avg=power_avg,
     )
+
+
+def _rotate_detect(zr, zi, rate, start, params: LoraParams, backend: str):
+    """CFO-rotate + window + detect, via the fused Pallas kernel when on
+    TPU and N <= 512, else the jnp path.  The window is applied before the
+    kernel's rotation (the reference rotates first, phy.cpp:218-227 — a
+    float reordering that cannot change any detection: both orders scale
+    each sample by the same two factors)."""
+    n = params.n
+    from ..ops.pallas_detect import fused_rotate_detect, pallas_supported
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and pallas_supported(n))
+    win = window_table(n, params.window)
+    if use_pallas:
+        wr, wi = zr, zi
+        if win is not None:
+            w = jnp.asarray(win)
+            wr = wr * w
+            wi = wi * w
+        batched = wr.ndim == 3
+        if not batched:
+            wr, wi = wr[None], wi[None]
+            rate = rate[None]
+            start = start[None]
+        idx, power, power_avg = fused_rotate_detect(wr, wi, rate, start)
+        if not batched:
+            idx, power, power_avg = idx[0], power[0], power_avg[0]
+        return idx, power, power_avg
+    ph = start[..., None] + rate[..., None, None] * jnp.arange(
+        n, dtype=jnp.float32)
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    fr = zr * c - zi * s
+    fi = zr * s + zi * c
+    if win is not None:
+        w = jnp.asarray(win)
+        fr = fr * w
+        fi = fi * w
+    det = detect_ri(fr, fi)
+    return det.index, det.power, det.power_avg
