@@ -5,6 +5,16 @@ library (reference: yakir1991/LoRa-SDR-Lightweight-Standalone-Library-clean)
 for TPU hardware: batched, jittable, mesh-shardable chirp-spread-spectrum
 TX/RX with an MXU-native DFT core.
 """
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # The container's sitecustomize force-registers its TPU platform and
+    # ignores JAX_PLATFORMS; honor the env var so CLI subprocesses (and CI)
+    # can pin the CPU backend without paying TPU-tunnel init per process.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from .utils.config import LoraParams, Window, load_profiles, params_from_profile, STOCK_PROFILES
 from .utils import errors
 from .models.modem import (

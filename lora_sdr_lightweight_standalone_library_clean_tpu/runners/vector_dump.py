@@ -16,19 +16,53 @@ from .. import LoraParams, Window, encode, modulate, demodulate, to_complex
 from ..ops import codes
 
 
-def _mt19937_payload(seed: int, nbytes: int) -> np.ndarray:
-    """Seeded payload identical to the reference's mt19937 +
-    uniform_int_distribution(0,255) (lora_phy_vector_dump.cpp:88-92).
+class _MT19937:
+    """std::mt19937: 32-bit Mersenne Twister with C++11 scalar seeding
+    (init via the 1812433253 Knuth multiplier), bit-identical to libstdc++."""
 
-    libstdc++'s uniform_int_distribution over [0,255] consumes one 32-bit
-    draw and reduces it by range-scaling; replicate that mapping.
+    def __init__(self, seed: int):
+        self.mt = mt = [0] * 624
+        mt[0] = seed & 0xFFFFFFFF
+        for i in range(1, 624):
+            mt[i] = (1812433253 * (mt[i - 1] ^ (mt[i - 1] >> 30)) + i) \
+                & 0xFFFFFFFF
+        self.idx = 624
+
+    def _generate(self):
+        mt = self.mt
+        for i in range(624):
+            y = (mt[i] & 0x80000000) | (mt[(i + 1) % 624] & 0x7FFFFFFF)
+            mt[i] = mt[(i + 397) % 624] ^ (y >> 1) ^ (0x9908B0DF * (y & 1))
+        self.idx = 0
+
+    def __call__(self) -> int:
+        if self.idx >= 624:
+            self._generate()
+        y = self.mt[self.idx]
+        self.idx += 1
+        y ^= y >> 11
+        y ^= (y << 7) & 0x9D2C5680
+        y ^= (y << 15) & 0xEFC60000
+        return (y ^ (y >> 18)) & 0xFFFFFFFF
+
+
+def _mt19937_payload(seed: int, nbytes: int) -> np.ndarray:
+    """Seeded payload bit-identical to the reference's std::mt19937 +
+    uniform_int_distribution<int>(0, 255) (lora_phy_vector_dump.cpp:88-92).
+
+    libstdc++'s uniform_int_distribution for urange 256 over a 2^32-range
+    generator uses the downscaling branch: scaling = (2^32-1)/256,
+    reject draws >= 256*scaling, result = draw / scaling.
     """
-    rng = np.random.RandomState(seed)  # MT19937, same core generator
+    rng = _MT19937(seed)
+    scaling = (2 ** 32 - 1) // 256
+    past = 256 * scaling
     out = np.zeros(nbytes, np.uint8)
     for i in range(nbytes):
-        # libstdc++ scheme for urange<=2^32: downscale via product-high
-        x = int(rng.randint(0, 2 ** 31))  # not bit-identical; see note
-        out[i] = x & 0xFF
+        x = rng()
+        while x >= past:
+            x = rng()
+        out[i] = x // scaling
     return out
 
 
@@ -42,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--bw", type=int, default=125000)
     ap.add_argument("--window", choices=["none", "hann"], default="none")
     ap.add_argument("--dump", action="append", default=None)
+    ap.add_argument("--cfo-bins", type=float, default=0.0, dest="cfo_bins",
+                    help="inject CFO (FFT bins) before demod "
+                         "(generate_lora_phy_vectors.py:106-118)")
+    ap.add_argument("--time-offset", type=int, default=0, dest="time_offset",
+                    help="inject integer sample shift before demod "
+                         "(generate_lora_phy_vectors.py:120-128)")
+    ap.add_argument("--snr-db", type=float, default=None, dest="snr_db",
+                    help="inject AWGN at this SNR (dB) before demod")
     return ap
 
 
@@ -56,19 +98,41 @@ def main(argv=None) -> int:
                         window=Window(args.window))
     payload = _mt19937_payload(args.seed, args.nbytes)
 
-    nibbles = np.zeros(args.nbytes * 2, np.uint8)
+    # Pad codewords up to whole interleaver blocks of sf codewords
+    # (lora_phy_vector_dump.cpp:95-98): cw_count = ceil(nibbles/sf)*sf,
+    # symbol_count = blocks*(4+rdd).
+    nibble_count = args.nbytes * 2
+    cw_count = -(-nibble_count // args.sf) * args.sf
+    blocks = cw_count // args.sf
+    nibbles = np.zeros(nibble_count, np.uint8)
     nibbles[0::2] = payload >> 4
     nibbles[1::2] = payload & 0xF
-    pre_interleave = codes.encode_hamming84(nibbles)
+    pre_interleave = np.zeros(cw_count, np.uint8)
+    pre_interleave[:nibble_count] = codes.encode_hamming84(nibbles)
 
     syms = encode(payload[None])
     re, im = modulate(syms, params)
+    if args.cfo_bins or args.time_offset or args.snr_db is not None:
+        import jax
+
+        from ..ops import channel
+
+        re, im = channel.apply_channel(
+            jax.random.PRNGKey(args.seed), re, im, snr_db=args.snr_db,
+            cfo_bins=args.cfo_bins or None, n_step=params.step,
+            time_offset=args.time_offset or None)
     iq = to_complex(re, im)[0]
     res = demodulate(re, im, params)
     demod = np.asarray(res.symbols)[0]
     rdd = 4
+    # zero-pad the demod decisions to whole interleaver blocks, exactly
+    # like the reference's zero-initialised demod[symbol_count] buffer
+    # (lora_phy_vector_dump.cpp:109,147-153)
+    symbol_count = blocks * (4 + rdd)
+    demod_padded = np.zeros(symbol_count, demod.dtype)
+    demod_padded[: demod.size] = demod
     deint = codes.diagonal_deinterleave(
-        demod.astype(np.uint16), args.sf, rdd)
+        demod_padded.astype(np.uint16), args.sf, rdd)
     dec = codes.decode_hamming84(deint[: args.nbytes * 2])
     decoded = (((dec[0::2] & 0xF) << 4) | (dec[1::2] & 0xF)).astype(np.uint8)
 
@@ -78,14 +142,19 @@ def main(argv=None) -> int:
         (out / "pre_interleave.csv").write_text(
             "\n".join(str(int(v)) for v in pre_interleave) + "\n")
     if "post_interleave" in dumps:
+        # dumped zero-padded to symbol_count like the reference's
+        # post_interleave buffer (lora_phy_vector_dump.cpp:108,164-169)
+        post = np.zeros(symbol_count, np.int64)
+        produced = np.asarray(syms)[0]
+        post[: produced.size] = produced
         (out / "post_interleave.csv").write_text(
-            "\n".join(str(int(v)) for v in np.asarray(syms)[0]) + "\n")
+            "\n".join(str(int(v)) for v in post) + "\n")
     if "iq" in dumps:
         (out / "iq_samples.csv").write_text(
             "\n".join(f"{s.real:g},{s.imag:g}" for s in iq) + "\n")
     if "demod" in dumps:
         (out / "demod_symbols.csv").write_text(
-            "\n".join(str(int(v)) for v in demod) + "\n")
+            "\n".join(str(int(v)) for v in demod_padded) + "\n")
     if "deinterleave" in dumps:
         (out / "deinterleave.csv").write_text(
             "\n".join(str(int(v)) for v in deint) + "\n")

@@ -115,7 +115,13 @@ def params_from_profile(profile: dict, osr: int = 1,
                       window=window, sync_word=sync_word)
 
 
+# The shipped profiles file (same subset format as the reference's
+# tests/profiles.yaml; see load_profiles above).
+PROFILES_PATH = Path(__file__).resolve().parent.parent / "profiles.yaml"
+
 # The seven stock profiles from the reference suite (tests/profiles.yaml:4-45).
+# Kept as an in-code literal so importing the package does no file IO;
+# tests assert load_profiles(PROFILES_PATH) stays in sync with this tuple.
 STOCK_PROFILES = (
     {"name": "sf7_bw125_cr45", "sf": 7, "bw": 125000, "cr": "4/5"},
     {"name": "sf7_bw125_cr47", "sf": 7, "bw": 125000, "cr": "4/7"},

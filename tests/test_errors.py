@@ -73,3 +73,16 @@ def test_error_hierarchy():
     assert issubclass(RangeError, LoraError)
     assert InvalidArgumentError.errno == errno.EINVAL
     assert RangeError.errno == errno.ERANGE
+
+
+def test_shipped_profiles_match_stock():
+    """The shipped profiles.yaml parses (reference subset format,
+    tests/profiles.yaml) and stays in sync with STOCK_PROFILES."""
+    from lora_sdr_lightweight_standalone_library_clean_tpu.utils.config import (
+        PROFILES_PATH)
+    loaded = L.load_profiles(PROFILES_PATH)
+    assert len(loaded) == len(L.STOCK_PROFILES) == 7
+    for got, want in zip(loaded, L.STOCK_PROFILES):
+        for key in ("name", "sf", "bw", "cr"):
+            assert got[key] == want[key]
+        L.params_from_profile(got)  # constructible

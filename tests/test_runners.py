@@ -64,4 +64,59 @@ def test_vector_dump_runner(tmp_path):
     payload = np.fromfile(out / "payload.bin", np.uint8)
     assert payload.size == 8
     syms = np.loadtxt(out / "post_interleave.csv", dtype=np.int64)
-    assert syms.size == 16
+    # zero-padded to whole interleaver blocks: ceil(16 nibbles / sf7) = 3
+    # blocks * 8 symbols (lora_phy_vector_dump.cpp:95-98,108)
+    assert syms.size == 24
+    assert (syms[16:] == 0).all()
+
+
+def test_generate_vectors_manifest(tmp_path):
+    """scripts/generate_vectors.py: stage dumps + SHA256 manifest + b64,
+    and compare_vectors passes a dir against itself (in-process; mirrors
+    scripts/generate_lora_phy_vectors.py + compare_vectors.py)."""
+    import importlib.util as ilu
+    import json
+
+    spec = ilu.spec_from_file_location(
+        "generate_vectors", REPO / "scripts" / "generate_vectors.py")
+    gen = ilu.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    out = tmp_path / "vecs"
+    out.mkdir()
+    manifest = gen.generate(out, [7], nbytes=8, seed=3, bw=125000, osr=1,
+                            window="none", cfo_bins=0.0, time_offset=0)
+    assert json.load(open(out / "manifest.json")) == manifest
+    files = {f["name"]: f for f in manifest["configs"][0]["files"]}
+    assert "payload.bin" in files and files["payload.bin"]["b64"]
+    assert (out / "sf7_bw125" / "payload.bin.b64").exists()
+    # self-compare must pass; checksum must actually match the file
+    import hashlib
+    data = (out / "sf7_bw125" / "payload.bin").read_bytes()
+    assert files["payload.bin"]["sha256"] == hashlib.sha256(data).hexdigest()
+    # Stage self-consistency: decoded.bin is exactly
+    # hamming84(deinterleave(demod)) — the reference dump runner's
+    # post-processing (lora_phy_vector_dump.cpp:153-162).  (decoded does
+    # NOT equal payload by design: the dump deinterleaves symbols that
+    # were never interleaved on encode; demod also carries the full-path
+    # offset compensation, so it is not post_interleave either.)
+    import numpy as np
+
+    from lora_sdr_lightweight_standalone_library_clean_tpu.ops import codes
+    demod = np.loadtxt(out / "sf7_bw125" / "demod_symbols.csv", dtype=int)
+    deint = codes.diagonal_deinterleave(demod.astype(np.uint16), 7, 4)
+    dec = codes.decode_hamming84(deint[:16])
+    got = (((dec[0::2] & 0xF) << 4) | (dec[1::2] & 0xF)).astype(np.uint8)
+    assert (out / "sf7_bw125" / "decoded.bin").read_bytes() == got.tobytes()
+
+
+def test_mt19937_payload_bit_exact():
+    """Payload RNG is bit-identical to the reference's std::mt19937 +
+    uniform_int_distribution<int>(0,255) (lora_phy_vector_dump.cpp:88-92).
+    Known answer captured from the built reference binary (seed=3, 8 bytes);
+    with it, payload/pre_interleave/post_interleave stage dumps SHA256-match
+    the reference's dir-for-dir (scripts/compare_vectors.py)."""
+    from lora_sdr_lightweight_standalone_library_clean_tpu.runners.vector_dump import (
+        _mt19937_payload)
+    got = _mt19937_payload(3, 8)
+    assert bytes(got).hex() == "8d12b5d74a1f8291"
+    assert bytes(_mt19937_payload(1, 4)).hex() != bytes(got[:4]).hex()
