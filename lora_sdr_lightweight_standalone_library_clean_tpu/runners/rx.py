@@ -35,8 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    raw = (sys.stdin.buffer.read() if args.infile == "-"
-           else open(args.infile, "rb").read())
+    try:
+        raw = (sys.stdin.buffer.read() if args.infile == "-"
+               else open(args.infile, "rb").read())
+    except OSError as e:
+        print(f"rx: cannot read {args.infile}: {e.strerror}",
+              file=sys.stderr)
+        return 1
     f = np.frombuffer(raw[: len(raw) - len(raw) % 8], np.float32)
     iq = f[0::2] + 1j * f[1::2]
     params = LoraParams(sf=args.sf, bw=args.bw, cr=args.cr, osr=args.osr)

@@ -120,3 +120,18 @@ def test_mt19937_payload_bit_exact():
     got = _mt19937_payload(3, 8)
     assert bytes(got).hex() == "8d12b5d74a1f8291"
     assert bytes(_mt19937_payload(1, 4)).hex() != bytes(got[:4]).hex()
+
+
+def test_awgn_sweep_runner(tmp_path):
+    """awgn_sweep CLI: CSV schema + monotone-ish PER waterfall
+    (the TEST_PLAN.md:32 tool the reference never shipped)."""
+    out = tmp_path / "sweep.csv"
+    r = run("awgn_sweep", "--sf=7", "--snr-start=-14", "--snr-stop=-4",
+            "--snr-step=5", "--packets=100", "--bytes=4", f"--out={out}")
+    assert r.returncode == 0, r.stderr.decode()
+    rows = out.read_text().strip().splitlines()
+    assert rows[0] == "snr_db,ser,ber,per,crc_ok_rate"
+    vals = [list(map(float, row.split(","))) for row in rows[1:]]
+    assert len(vals) == 3
+    assert vals[0][3] > 0.9      # PER ~1 at -14 dB
+    assert vals[-1][3] < 0.05    # PER ~0 at -4 dB
