@@ -119,12 +119,19 @@ def stream_scan(iq_r, iq_i, params: LoraParams, mesh: Mesh | None = None,
 
 def find_sync_starts(scan: StreamScan, params: LoraParams,
                      power_gate_db: float = 10.0,
-                     stride: int | None = None) -> jnp.ndarray:
+                     stride: int | None = None,
+                     noise_floor_db: float = -200.0) -> jnp.ndarray:
     """Boolean mask of windows that look like the start of a packet's sync
     prelude: two sync-symbol detections one symbol apart matching the
     configured sync-word nibbles, with fundamental power above the noise
     floor by ``power_gate_db``.  ``stride`` must match the stream_scan call
-    (default: one symbol)."""
+    (default: one symbol).
+
+    Both power and noise floor are clamped to ``noise_floor_db`` before the
+    gate: dead windows (all-zero samples, e.g. the zero halo past the end of
+    the stream) produce ``20*log10(0) = -inf`` on both sides, which would
+    otherwise make the SNR test NaN/True for noise-free garbage; clamped,
+    a dead window scores 0 dB SNR and never passes the gate."""
     step = params.step
     if stride is None:
         stride = step
@@ -133,7 +140,9 @@ def find_sync_starts(scan: StreamScan, params: LoraParams,
     bs = params.bw_scale
     n = params.n
     idx = scan.index
-    strong = (scan.power - scan.power_avg) > power_gate_db
+    p = jnp.maximum(scan.power, noise_floor_db)
+    pav = jnp.maximum(scan.power_avg, noise_floor_db)
+    strong = (p - pav) > power_gate_db
     m0 = (idx == (sw0 * bs) % n) & strong
     m1 = (idx == (sw1 * bs) % n) & strong
     nxt = jnp.concatenate(
