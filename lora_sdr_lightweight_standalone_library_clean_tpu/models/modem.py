@@ -389,24 +389,40 @@ def demodulate(iq_r, iq_i, params: LoraParams,
     t_off = jnp.round(est.time_offset).astype(jnp.int32)
     rate = -TWO_PI * est.cfo / np.float32(n)                   # (...,)
 
-    zr, zi = _timing_shifted_windows(iq_r, iq_i, t_off, total, step, osr, n)
+    from .tones import _use_rx_kernel
+    if _use_rx_kernel(params, backend):
+        # single fused kernel: timing shift + dechirp + window + rotate +
+        # DFT + detect, windows never touch HBM (ops/pallas_rx.py)
+        from ..ops.pallas_rx import rx_window_detect
+        dcr, dci = downchirp_ri(params.sf, params.bw_scale)
+        win = window_table(n, params.window)
+        if win is not None:
+            dcr = dcr * win
+            dci = dci * win
+        ones = jnp.ones(t_off.shape, jnp.float32)
+        idx, power, power_avg = rx_window_detect(
+            iq_r, iq_i, jnp.clip(t_off, -step, step), rate, ones,
+            jnp.asarray(dcr), jnp.asarray(dci), params)
+    else:
+        zr, zi = _timing_shifted_windows(iq_r, iq_i, t_off, total, step,
+                                         osr, n)
 
-    # CFO derotation phase: start + rate*i  (phy.cpp:218-225)
-    s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(n)
-    start = rate[..., None] * (s_idx + t_off.astype(jnp.float32)[..., None]
-                               / np.float32(osr))              # (..., S)
+        # CFO derotation phase: start + rate*i  (phy.cpp:218-225)
+        s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(n)
+        start = rate[..., None] * (
+            s_idx + t_off.astype(jnp.float32)[..., None] / np.float32(osr))
 
-    dcr, dci = downchirp_ri(params.sf, params.bw_scale)        # host consts
-    dcr = jnp.asarray(dcr)
-    dci = jnp.asarray(dci)
-    # dechirp: samp = iq * downchirp (phy.cpp:206-225); the CFO rotation and
-    # detection run in the fused kernel / jnp fallback
-    ar = zr * dcr - zi * dci
-    ai = zr * dci + zi * dcr
+        dcr, dci = downchirp_ri(params.sf, params.bw_scale)    # host consts
+        dcr = jnp.asarray(dcr)
+        dci = jnp.asarray(dci)
+        # dechirp: samp = iq * downchirp (phy.cpp:206-225); the CFO rotation
+        # and detection run in the fused kernel / jnp fallback
+        ar = zr * dcr - zi * dci
+        ai = zr * dci + zi * dcr
 
-    from .tones import _rotate_detect
-    idx, power, power_avg = _rotate_detect(ar, ai, rate, start, params,
-                                           backend)
+        from .tones import _rotate_detect
+        idx, power, power_avg = _rotate_detect(ar, ai, rate, start, params,
+                                               backend)
     sw0, sw1 = idx[..., 0], idx[..., 1]
     shift = params.sf - 4 if params.sf > 4 else 0
     sync = (((sw0 >> shift) & 0xF) << 4) | ((sw1 >> shift) & 0xF)

@@ -25,6 +25,18 @@ from .modem import (_estimate_core, _timing_shifted_windows, window_table,
 __all__ = ["demodulate_tones"]
 
 
+def _use_rx_kernel(params: LoraParams, backend: str) -> bool:
+    """Pick the fully-fused RX kernel (ops/pallas_rx.py): timing shift +
+    dechirp/window + DFT + detect in one pass.  'auto' uses it whenever the
+    platform/config supports it; 'pallas_rx' forces it."""
+    if backend == "pallas_rx":
+        return True
+    if backend != "auto":
+        return False
+    from ..ops.pallas_rx import rx_supported
+    return rx_supported(params.n, params.osr)
+
+
 def demodulate_tones(iq_r, iq_i, params: LoraParams,
                      normalize: bool = True,
                      backend: str = "auto") -> DemodResult:
@@ -64,16 +76,27 @@ def demodulate_tones(iq_r, iq_i, params: LoraParams,
     t_off = jnp.round(est.time_offset).astype(jnp.int32)
     rate = -TWO_PI * est.cfo / np.float32(n)
 
-    zr, zi = _timing_shifted_windows(iq_r, iq_i, t_off, total, step, osr, n)
-    zr = zr * scale[..., None]
-    zi = zi * scale[..., None]
+    if _use_rx_kernel(params, backend):
+        # single fused kernel: timing shift + normalize + window + rotate +
+        # DFT + detect, windows never touch HBM (ops/pallas_rx.py)
+        from ..ops.pallas_rx import rx_window_detect
+        win = window_table(n, params.window)
+        mr = np.ones(n, np.float32) if win is None else win
+        idx, power, power_avg = rx_window_detect(
+            iq_r, iq_i, jnp.clip(t_off, -step, step), rate, scale[..., 0],
+            jnp.asarray(mr), jnp.zeros(n, jnp.float32), params)
+    else:
+        zr, zi = _timing_shifted_windows(iq_r, iq_i, t_off, total, step,
+                                         osr, n)
+        zr = zr * scale[..., None]
+        zi = zi * scale[..., None]
 
-    s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(n)
-    start = rate[..., None] * (s_idx + t_off.astype(jnp.float32)[..., None]
-                               / np.float32(osr))
+        s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(n)
+        start = rate[..., None] * (
+            s_idx + t_off.astype(jnp.float32)[..., None] / np.float32(osr))
 
-    idx, power, power_avg = _rotate_detect(zr, zi, rate, start, params,
-                                           backend)
+        idx, power, power_avg = _rotate_detect(zr, zi, rate, start, params,
+                                               backend)
     if have_sync:
         sw0, sw1 = idx[..., 0], idx[..., 1]
         shift = params.sf - 4 if params.sf > 4 else 0

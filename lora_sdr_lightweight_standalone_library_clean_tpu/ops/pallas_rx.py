@@ -1,0 +1,309 @@
+"""Fused Pallas TPU RX kernel: timing-shift -> dechirp/window -> DFT -> argmax.
+
+This is the whole per-symbol RX hot path (reference ``src/phy/phy.cpp:206-231``
+and ``src/phy/LoRaDemod.cpp:142-165``) in ONE kernel.  The jnp path pays two
+full HBM round-trips that this kernel deletes:
+
+ * the per-packet timing shift (``phy.cpp:210-216``) materializes a shifted
+   copy of the stream (measured 73 ms of a 95 ms sf7 demod on TPU v5e);
+ * the (B, S, N) symbol windows are written to HBM and re-read by the
+   detection kernel.
+
+Here each grid step streams P packets' samples HBM->VMEM through the
+automatic block pipeline, applies the per-packet timing shift *in VMEM* (a
+dynamic sublane roll + a dynamic lane roll + one select — no gather, and
+dynamic roll amounts need no alignment proofs), multiplies by the combined
+normalization * down-chirp * window rotation, runs the DFT on the MXU, and
+reduces to per-symbol (argmax bin, power dB, noise dB).  HBM traffic is one
+read of the stream plus three (B, S) vectors out.
+
+DFT strategy (ops/dft.py semantics, in-kernel):
+ * N <= 512: dense (N, N) cos/sin matrices; P packets' windows share one
+   (P*S, N) x (N, N) complex matmul so the MXU sees full tiles even at SF7.
+ * N >= 1024: Cooley-Tukey two-stage factorization N = n1*n2, n2 = 128.
+   Batched middle-axis contractions are restructured into plain 2D matmuls:
+   one sublane transpose puts the windows in (n1, S, n2) layout, stage 1 is
+   a left-matmul over n1, the twiddle broadcast rides lanes, and stage 2
+   contracts the n2 lane axis directly — both matmuls hit the MXU with
+   full 128-lane operands.  First-max argmax over the natural bin order
+   k2*n1 + k1 is recovered with an iota/min reduction, preserving the
+   reference's lowest-index tie rule (``LoRaDetector.hpp:53``).
+
+Covers osr == 1 (every stock profile); oversampled paths fall back to the
+jnp pipeline.  The timing-shift clamp semantics match ``phy.cpp:209-216``
+exactly: with |t_off| <= step, symbol 0 falls back to its unshifted window
+when t_off < 0 and symbol S-1 when t_off > 0.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dft import _dft_mats, _twiddle
+
+__all__ = ["rx_window_detect", "rx_supported", "PALLAS_RX_MAX_N"]
+
+PALLAS_RX_MAX_N = 4096
+
+
+def rx_supported(n: int, osr: int, platform: str | None = None) -> bool:
+    if platform is None:
+        platform = jax.default_backend()
+    return osr == 1 and n <= PALLAS_RX_MAX_N and platform not in ("cpu",)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _packets_per_tile(n: int) -> int:
+    """Packets per grid step: enough rows that the dense DFT matmul fills
+    MXU tiles (P * S_pad rows >= ~1024 for SF7) while slabs stay small."""
+    return max(1, 2048 // n)
+
+
+def _rx_factors(n: int) -> tuple[int, int]:
+    """n1 * n2 = n with n2 = 128 so both matmul stages keep full lanes."""
+    n2 = min(n, 128)
+    return n // n2, n2
+
+
+def _shifted_windows(slab_ref, p, t, tm, srows, step, s_pad, s_real):
+    """Timing-shifted windows of one packet's slab (phy.cpp:209-216).
+
+    slab row r covers samples [(r-1)*step, r*step); window s starts at
+    sample s*step + t, i.e. slab[s + 1 + rowoff, tm + j] spilling into the
+    following row.  One sublane roll + one lane roll + one select.
+    """
+    rowoff = (t - tm) // step                       # floor(t/step): -1|0|1
+    lane_shift = lax.rem(step - tm, step)
+    row_shift = lax.rem(srows - (1 + rowoff), srows)
+    slab = slab_ref[p]                              # (SROWS, step)
+    r = pltpu.roll(pltpu.roll(slab, row_shift, axis=0), lane_shift, axis=1)
+    j = lax.broadcasted_iota(jnp.int32, (s_pad, step), 1)
+    w = jnp.where(j < step - tm, r[0:s_pad], r[1:1 + s_pad])
+    # edge clamp: symbol 0 unshifted when t<0, symbol s_real-1 when t>0
+    row = lax.broadcasted_iota(jnp.int32, (s_pad, step), 0)
+    clamp = ((row == 0) & (t < 0)) | ((row == s_real - 1) & (t > 0))
+    return jnp.where(clamp, slab[1:1 + s_pad], w)
+
+
+def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
+               *mat_out_refs, n: int, step: int, s_pad: int, s_real: int,
+               p_tile: int, factored: bool):
+    """One grid step = ``p_tile`` packets.
+
+    t/rate/scale: whole (B,) arrays in SMEM, indexed b = step*P + p.
+    sr/si: (P, SROWS, step) auto-pipelined slabs.
+    mr/mi: (1, n) combined down-chirp * window multiplier.
+    mat_out_refs: DFT constants, two VMEM scratch rows, then the three
+    outputs (idx, pow, pav) each (P, s_pad, 1).
+    """
+    if factored:
+        (c1_ref, s1_ref, c2_ref, s2_ref, tc_ref, ts_ref,
+         idx_ref, pow_ref, pav_ref, ar_scr, ai_scr) = mat_out_refs
+    else:
+        c_ref, s_ref, idx_ref, pow_ref, pav_ref, ar_scr, ai_scr = mat_out_refs
+
+    srows = sr_ref.shape[1]
+    g = pl.program_id(0)
+    mr = mr_ref[0][None, :]
+    mi = mi_ref[0][None, :]
+    i_lane = lax.broadcasted_iota(jnp.int32, (s_pad, n), 1).astype(jnp.float32)
+    s_row = lax.broadcasted_iota(jnp.int32, (s_pad, n), 0).astype(jnp.float32)
+
+    for p in range(p_tile):
+        b = g * p_tile + p
+        t = t_ref[b]
+        tm = lax.rem(lax.rem(t, step) + step, step)
+        wr = _shifted_windows(sr_ref, p, t, tm, srows, step, s_pad, s_real)
+        wi = _shifted_windows(si_ref, p, t, tm, srows, step, s_pad, s_real)
+        # rotation phase (phy.cpp:218-225): rate * (s*n + t/osr + i)
+        rate = rate_ref[b]
+        ph = rate * (s_row * np.float32(n) + t.astype(jnp.float32) + i_lane)
+        c = jnp.cos(ph)
+        s_ = jnp.sin(ph)
+        cr = c * mr - s_ * mi
+        ci = s_ * mr + c * mi
+        scale = scale_ref[b]
+        ar_scr[p * s_pad:(p + 1) * s_pad, :] = (wr * cr - wi * ci) * scale
+        ai_scr[p * s_pad:(p + 1) * s_pad, :] = (wr * ci + wi * cr) * scale
+
+    ar = ar_scr[...]                                 # (P*s_pad, n)
+    ai = ai_scr[...]
+    rows = p_tile * s_pad
+
+    if not factored:
+        cm = c_ref[...]
+        sm = s_ref[...]
+        xr = (jnp.dot(ar, cm, preferred_element_type=jnp.float32)
+              + jnp.dot(ai, sm, preferred_element_type=jnp.float32))
+        xi = (jnp.dot(ai, cm, preferred_element_type=jnp.float32)
+              - jnp.dot(ar, sm, preferred_element_type=jnp.float32))
+        mag2 = xr * xr + xi * xi                     # (rows, n) natural order
+        idx = jnp.argmax(mag2, axis=-1, keepdims=True).astype(jnp.int32)
+        max_val = jnp.max(mag2, axis=-1, keepdims=True)
+        total = jnp.sum(mag2, axis=-1, keepdims=True)
+    else:
+        n1, n2 = _rx_factors(n)
+        # (rows, n1, n2) -> (n1, rows, n2): sublane transpose, lanes intact
+        x3r = jnp.transpose(ar.reshape(rows, n1, n2), (1, 0, 2))
+        x3i = jnp.transpose(ai.reshape(rows, n1, n2), (1, 0, 2))
+        x2r = x3r.reshape(n1, rows * n2)
+        x2i = x3i.reshape(n1, rows * n2)
+        c1 = c1_ref[...]                             # (n1, n1) symmetric
+        s1 = s1_ref[...]
+        # stage 1: left-matmul over n1 -> Y[k1, (r, b)]
+        yr = (jnp.dot(c1, x2r, preferred_element_type=jnp.float32)
+              + jnp.dot(s1, x2i, preferred_element_type=jnp.float32))
+        yi = (jnp.dot(c1, x2i, preferred_element_type=jnp.float32)
+              - jnp.dot(s1, x2r, preferred_element_type=jnp.float32))
+        y3r = yr.reshape(n1, rows, n2)
+        y3i = yi.reshape(n1, rows, n2)
+        tc = tc_ref[...][:, None, :]                 # (n1, 1, n2) twiddles
+        ts = ts_ref[...][:, None, :]
+        br = (y3r * tc + y3i * ts).reshape(n1 * rows, n2)
+        bi = (y3i * tc - y3r * ts).reshape(n1 * rows, n2)
+        c2 = c2_ref[...]                             # (n2, n2) symmetric
+        s2 = s2_ref[...]
+        # stage 2: contract the n2 lane axis -> X[(k1, r), k2]
+        xr = (jnp.dot(br, c2, preferred_element_type=jnp.float32)
+              + jnp.dot(bi, s2, preferred_element_type=jnp.float32))
+        xi = (jnp.dot(bi, c2, preferred_element_type=jnp.float32)
+              - jnp.dot(br, s2, preferred_element_type=jnp.float32))
+        m3 = (xr * xr + xi * xi).reshape(n1, rows, n2)
+        # back to row-major (rows, n1, n2): sublane transpose, so all
+        # remaining reductions shrink the lane/minor axes (clean layouts)
+        mag2 = jnp.transpose(m3, (1, 0, 2))
+        max_val = jnp.max(jnp.max(mag2, axis=2), axis=1, keepdims=True)
+        total = jnp.sum(jnp.sum(mag2, axis=2), axis=1, keepdims=True)
+        # first-max over natural bin order: minimize k2*n1 + k1 among maxima
+        k1i = lax.broadcasted_iota(jnp.int32, (rows, n1, n2), 1)
+        k2i = lax.broadcasted_iota(jnp.int32, (rows, n1, n2), 2)
+        nat = k2i * n1 + k1i
+        hit = mag2 == max_val[..., None]              # (rows,1,1) broadcast
+        idx = jnp.min(jnp.min(jnp.where(hit, nat, n), axis=2), axis=1,
+                      keepdims=True)                  # (rows, 1)
+
+    scale_db = np.float32(20.0 * np.log10(n))
+    fund = jnp.sqrt(max_val)
+    noise = jnp.sqrt(jnp.maximum(total - max_val, 0.0))
+    idx_ref[0] = idx                                  # (P*s_pad, 1) columns
+    pow_ref[0] = 20.0 * jnp.log10(fund) - scale_db
+    pav_ref[0] = 20.0 * jnp.log10(noise) - scale_db
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "step", "s_real", "interpret"))
+def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
+             *, n: int, step: int, s_real: int, interpret: bool):
+    b = stream_r.shape[0]
+    s_pad = _round_up(s_real, 8)
+    srows = _round_up(s_pad + 3, 8)
+    total_len = s_real * step
+    assert stream_r.shape[-1] == total_len
+
+    p_tile = _packets_per_tile(n)
+    b_pad = _round_up(b, p_tile)
+    if b_pad != b:
+        zpad = ((0, b_pad - b), (0, 0))
+        stream_r = jnp.pad(stream_r, zpad)
+        stream_i = jnp.pad(stream_i, zpad)
+        t_off = jnp.pad(t_off, (0, b_pad - b))
+        rate = jnp.pad(rate, (0, b_pad - b))
+        scale = jnp.pad(scale, (0, b_pad - b))
+
+    # padded slab view: 1 left pad row + data + right pad rows
+    pad_r = (srows - 1) * step - total_len
+    pr = jnp.pad(stream_r, ((0, 0), (step, pad_r))).reshape(b_pad, srows, step)
+    pi = jnp.pad(stream_i, ((0, 0), (step, pad_r))).reshape(b_pad, srows, step)
+
+    factored = n > 512
+    if factored:
+        n1, n2 = _rx_factors(n)
+        c1, s1 = map(jnp.asarray, _dft_mats(n1))
+        c2, s2 = map(jnp.asarray, _dft_mats(n2))
+        tc_np, ts_np = _twiddle(n1, n2)              # (n2, n1) -> (n1, n2)
+        tc = jnp.asarray(np.ascontiguousarray(tc_np.T))
+        ts = jnp.asarray(np.ascontiguousarray(ts_np.T))
+        mats = [c1, s1, c2, s2, tc, ts]
+    else:
+        cm, sm = map(jnp.asarray, _dft_mats(n))
+        mats = [cm, sm]
+    mat_specs = [pl.BlockSpec(m.shape, lambda i, nd=m.ndim: (0,) * nd,
+                              memory_space=pltpu.VMEM) for m in mats]
+
+    kernel = functools.partial(
+        _rx_kernel, n=n, step=step, s_pad=s_pad, s_real=s_real,
+        p_tile=p_tile, factored=factored)
+    slab_spec = pl.BlockSpec((p_tile, srows, step), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    mult_spec = pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    grid = b_pad // p_tile
+    rows = p_tile * s_pad
+    out_dims = (grid, rows, 1)
+    out_spec = pl.BlockSpec((1, rows, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    idx, pw, pav = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[smem_spec, smem_spec, smem_spec, slab_spec, slab_spec,
+                  mult_spec, mult_spec] + mat_specs,
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(out_dims, jnp.int32),
+            jax.ShapeDtypeStruct(out_dims, jnp.float32),
+            jax.ShapeDtypeStruct(out_dims, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, n), jnp.float32),
+            pltpu.VMEM((rows, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(t_off.astype(jnp.int32), rate.astype(jnp.float32),
+      scale.astype(jnp.float32), pr, pi,
+      mult_r.reshape(1, n), mult_i.reshape(1, n), *mats)
+    idx = idx.reshape(b_pad, s_pad)
+    pw = pw.reshape(b_pad, s_pad)
+    pav = pav.reshape(b_pad, s_pad)
+    return (idx[:b, :s_real], pw[:b, :s_real], pav[:b, :s_real])
+
+
+def rx_window_detect(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
+                     params, *, interpret: bool = False):
+    """Fused RX: timing-shifted windows + dechirp/window + DFT + detect.
+
+    Args:
+      stream_r/i: float32 (..., S * step) packet sample streams (osr == 1,
+        so step == n).
+      t_off: int32 (...,) per-packet timing shift, |t_off| <= step.
+      rate: float32 (...,) CFO derotation rate (-2*pi*cfo/n).
+      scale: float32 (...,) per-packet amplitude normalization.
+      mult_r/i: float32 (n,) per-sample multiplier (down-chirp and/or
+        window; pass (ones, zeros) for the pre-dechirped tones path).
+      params: LoraParams (osr must be 1).
+
+    Returns:
+      (index, power_db, noise_db) each (..., S) matching
+      ops/detect.py::detect_ri semantics (first-max argmax ties).
+    """
+    n, step = params.n, params.step
+    assert params.osr == 1, "rx_window_detect covers osr == 1 only"
+    lead = stream_r.shape[:-1]
+    s_real = stream_r.shape[-1] // step
+    bsz = int(np.prod(lead)) if lead else 1
+    sr = stream_r.reshape(bsz, s_real * step)
+    si = stream_i.reshape(bsz, s_real * step)
+    out = _rx_call(sr, si, t_off.reshape(bsz), rate.reshape(bsz),
+                   scale.reshape(bsz), mult_r, mult_i,
+                   n=n, step=step, s_real=s_real, interpret=interpret)
+    return tuple(o.reshape(lead + (s_real,)) for o in out)
