@@ -26,5 +26,9 @@ from .models.tones import demodulate_tones
 from .models import lorawan, sweep
 from .ops import channel
 from .parallel import mesh, streaming
+from .parallel.receiver import (
+    receive_stream, stream_rx_init, packet_samples, StreamRxState,
+    RecoveredPackets,
+)
 
 __version__ = "0.1.0"

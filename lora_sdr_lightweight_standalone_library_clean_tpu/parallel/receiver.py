@@ -1,0 +1,191 @@
+"""End-to-end streaming RX: continuous IQ stream -> decoded payloads.
+
+The reference's ``demodulate`` contract is IQ in, payload out, for a
+caller-aligned single packet (``src/phy/phy.cpp:182-243``).  This module
+lifts that contract to *continuous multi-packet streams* — the capability
+the reference lacks entirely and SURVEY §5.7 assigns to the TPU build:
+
+  chunk of stream -> overlap-save sync scan (optionally shard_map'd over
+  the mesh's 'sp' axis with ppermute halos) -> deterministic candidate
+  selection -> per-packet offset estimation + demodulation + decoding,
+  batched over the found packets -> payloads + CRC verdicts + positions.
+
+Packets straddle every kind of boundary; both are handled exactly:
+
+ * **Chunk boundaries** (time): a ``StreamRxState`` carries the last
+   ``packet_len`` raw samples.  A packet is recovered by the first chunk
+   in which its *whole body* is available: chunk k (providing samples up
+   to E_k = offset + k*L) owns sync starts g with
+   E_{k-1} < g + packet_len <= E_k.  Ownership is a partition — no packet
+   is recovered twice, none is lost, and results are invariant to how the
+   stream is chunked.
+ * **Shard boundaries** (devices): the scan runs under ``shard_map`` with
+   one-symbol ppermute halos (parallel/streaming.py); candidate windows
+   are global indices, so ownership is deterministic regardless of the
+   shard layout, and packet bodies that cross shards are gathered by XLA
+   from the sharded stream at extraction time (K * packet_len samples —
+   tiny next to the scan).
+
+Everything is jittable with static shapes: ``max_packets`` bounds the
+per-chunk recovery (extra detections are dropped deterministically — the
+*earliest* starts win), ``payload_symbols`` fixes the packet length, and
+absent packets are masked by ``valid``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+
+from ..models.modem import decode, dechirp
+from ..models.tones import demodulate_tones
+from ..utils.config import LoraParams
+from .streaming import stream_scan, find_packet_starts
+
+__all__ = ["StreamRxState", "RecoveredPackets", "stream_rx_init",
+           "receive_stream", "packet_samples"]
+
+
+class StreamRxState(NamedTuple):
+    """Carried state between successive chunks of one logical stream."""
+
+    tail_r: jnp.ndarray     # (packet_len,) last raw samples of prev chunk
+    tail_i: jnp.ndarray
+    offset: jnp.ndarray     # int32 global sample index of the next chunk
+                            # (wraps after 2^31 samples ~ 4h at 125 kHz)
+
+
+class RecoveredPackets(NamedTuple):
+    """Up to ``max_packets`` packets recovered from one chunk."""
+
+    payload: jnp.ndarray    # (K, bytes) uint8
+    crc_ok: jnp.ndarray     # (K,) bool
+    valid: jnp.ndarray      # (K,) bool — entry k holds a real packet
+    start: jnp.ndarray      # (K,) int32 global sample index of sync start
+    sync_word: jnp.ndarray  # (K,) uint8
+    cfo: jnp.ndarray        # (K,) float32
+    time_offset: jnp.ndarray  # (K,) float32
+
+
+def packet_samples(params: LoraParams, payload_symbols: int) -> int:
+    """Samples per packet: 2 sync + payload symbols (LoRaMod.cpp:42)."""
+    return (payload_symbols + 2) * params.step
+
+
+def stream_rx_init(params: LoraParams, payload_symbols: int) -> StreamRxState:
+    """Fresh state: a zero tail (no samples seen yet)."""
+    plen = packet_samples(params, payload_symbols)
+    return StreamRxState(
+        tail_r=jnp.zeros(plen, jnp.float32),
+        tail_i=jnp.zeros(plen, jnp.float32),
+        offset=jnp.zeros((), jnp.int32),
+    )
+
+
+def receive_stream(iq_r, iq_i, params: LoraParams, *,
+                   payload_symbols: int, max_packets: int,
+                   state: StreamRxState | None = None,
+                   mesh: Mesh | None = None, axis: str = "sp",
+                   stride: int | None = None,
+                   power_gate_db: float = 5.0,
+                   ) -> tuple[RecoveredPackets, StreamRxState]:
+    """Recover every whole packet that completes inside this chunk.
+
+    Args:
+      iq_r/iq_i: float32 (L,) chunk of the continuous stream; L must be a
+        multiple of ``stride`` (and of stride*mesh-shards when sharded).
+      payload_symbols: data symbols per packet (static).
+      max_packets: recovery capacity per chunk (static).  If more packets
+        complete in a chunk, the earliest ``max_packets`` win.
+      state: carried state from the previous chunk (None = stream start).
+      mesh/axis: shard the sync scan over this mesh axis via shard_map.
+      stride: scan granularity in samples (default: a quarter symbol).
+        Packets at arbitrary sample offsets are recovered exactly: the
+        sync-bin shift measures the window misalignment, which corrects
+        the extraction to the true start.  Larger strides scan cheaper
+        but lose detection SNR (~3.5 dB at half-symbol misalignment).
+
+    Returns:
+      (RecoveredPackets, new StreamRxState).
+    """
+    step = params.step
+    if stride is None:
+        stride = max(step // 4, 1)
+    chunk_len = iq_r.shape[-1]
+    if chunk_len % stride:
+        raise ValueError(f"chunk length {chunk_len} not a multiple of "
+                         f"stride {stride}")
+    plen = packet_samples(params, payload_symbols)
+    if plen % stride:
+        raise ValueError(f"packet length {plen} not a multiple of "
+                         f"stride {stride}")
+    if state is None:
+        state = stream_rx_init(params, payload_symbols)
+
+    # extended stream: [prev tail | chunk]; ext position p <-> global
+    # sample g = p + offset - plen
+    ext_r = jnp.concatenate([state.tail_r, iq_r], axis=-1)
+    ext_i = jnp.concatenate([state.tail_i, iq_i], axis=-1)
+    ext_len = plen + chunk_len
+
+    # --- sync scan over every stride-aligned window of ext ---------------
+    if mesh is not None:
+        n_shards = mesh.shape[axis]
+        pad = (-ext_len) % (stride * n_shards)
+    else:
+        pad = 0
+    sr = jnp.pad(ext_r, (0, pad)) if pad else ext_r
+    si = jnp.pad(ext_i, (0, pad)) if pad else ext_i
+    scan = stream_scan(sr, si, params, mesh=mesh, axis=axis, stride=stride)
+    mask, start = find_packet_starts(scan, params, stride=stride,
+                                     power_gate_db=power_gate_db)
+
+    # --- deterministic ownership --------------------------------------
+    # this chunk owns corrected starts g with 0 < g <= chunk_len: the
+    # packet's last sample arrived in this chunk and not before.  g is a
+    # pure function of the physical window, so whichever chunk sees the
+    # window computes the same owner.
+    owned = mask & (start > 0) & (start <= chunk_len)
+
+    # earliest max_packets starts, ascending; absent slots -> sentinel
+    sentinel = jnp.int32(ext_len + 1)
+    cand = jnp.where(owned, start, sentinel)
+    neg_topk, _ = lax.top_k(-cand, max_packets)
+    starts = -neg_topk                              # ascending, corrected
+    valid = starts < sentinel
+    starts_c = jnp.clip(jnp.where(valid, starts, 0), 0, ext_len - plen)
+
+    # --- per-packet demod + decode (the decodable tones path: external
+    # dechirp + lora_demodulate semantics, LoRaDemod.cpp:50-197) ---------
+    def extract(p):
+        pr = lax.dynamic_slice_in_dim(ext_r, p, plen, axis=-1)
+        pi = lax.dynamic_slice_in_dim(ext_i, p, plen, axis=-1)
+        return pr, pi
+
+    pkt_r, pkt_i = jax.vmap(extract)(starts_c)      # (K, plen)
+    dr, di = dechirp(pkt_r, pkt_i, params)
+    res = demodulate_tones(dr, di, params)
+    payload, crc_ok = decode(res.symbols)
+
+    zero_payload = jnp.zeros_like(payload)
+    packets = RecoveredPackets(
+        payload=jnp.where(valid[:, None], payload, zero_payload),
+        crc_ok=crc_ok & valid,
+        valid=valid,
+        start=(starts_c + state.offset - plen),
+        sync_word=jnp.where(valid, res.sync_word, 0).astype(jnp.uint8),
+        cfo=jnp.where(valid, res.cfo, 0.0),
+        time_offset=jnp.where(valid, res.time_offset, 0.0),
+    )
+
+    # --- carried state ---------------------------------------------------
+    new_state = StreamRxState(
+        tail_r=ext_r[..., chunk_len:],               # last plen samples
+        tail_i=ext_i[..., chunk_len:],
+        offset=state.offset + chunk_len,
+    )
+    return packets, new_state

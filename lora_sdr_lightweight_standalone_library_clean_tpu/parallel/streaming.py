@@ -27,7 +27,8 @@ from ..ops.chirp import downchirp_ri
 from ..ops.detect import detect_ri
 from ..utils.config import LoraParams
 
-__all__ = ["StreamScan", "stream_scan", "find_sync_starts"]
+__all__ = ["StreamScan", "stream_scan", "find_sync_starts",
+           "find_packet_starts"]
 
 
 class StreamScan(NamedTuple):
@@ -148,3 +149,75 @@ def find_sync_starts(scan: StreamScan, params: LoraParams,
     nxt = jnp.concatenate(
         [m1[..., hop:], jnp.zeros(m1.shape[:-1] + (hop,), bool)], axis=-1)
     return m0 & nxt
+
+
+def find_packet_starts(scan: StreamScan, params: LoraParams,
+                       stride: int | None = None,
+                       power_gate_db: float = 5.0,
+                       noise_floor_db: float = -200.0,
+                       dedupe_tol: int = 2):
+    """Sync detection for packets at *arbitrary* sample offsets.
+
+    A chirp misaligned by ``d`` samples dechirps to a tone shifted by ``d``
+    bins, so exact-bin matching (``find_sync_starts``) only sees aligned
+    packets.  Here the signature is the *bin difference* of the two
+    consecutive sync symbols — invariant to the shared misalignment — and
+    the misalignment itself is then read off the first sync bin, giving a
+    sample-accurate corrected start for every packet:
+
+        d    = signed_mod(idx - sw0*bs, n) / bs        (bins)
+        start = window_pos - d * osr                    (samples)
+
+    A window misaligned by ``d`` has d corrupt samples, so its tone SNR is
+    ~20*log10((n-d)/sqrt(d*n)) dB — about 8 dB at d = n/8 and 3.5 dB at
+    d = n/4, while pure-noise windows sit near -14 dB.  The default
+    stride (step/4) bounds d at n/8, keeping 3 dB of gate margin.
+    Windows adjacent to a true start flag with the same corrected
+    position; consecutive duplicates (within ``dedupe_tol`` samples) keep
+    only the first.  Exact for bw_scale == 1; for
+    bw_scale > 1 at osr == 1 the bin map is non-injective (the reference's
+    own BW-250/500 round-trip defect, SURVEY §4.4.2) and recovery needs
+    osr == bw_scale.
+
+    Returns:
+      (keep, start): boolean mask over windows and int32 corrected start
+      positions in samples (valid where ``keep``).
+    """
+    step = params.step
+    if stride is None:
+        stride = max(step // 4, 1)
+    hop = step // stride
+    sw0, sw1 = params.sync_nibble_symbols()
+    bs = params.bw_scale
+    n = params.n
+    idx = scan.index
+    p = jnp.maximum(scan.power, noise_floor_db)
+    pav = jnp.maximum(scan.power_avg, noise_floor_db)
+    strong = (p - pav) > power_gate_db
+
+    def shift_back(x, k):
+        pad = jnp.zeros(x.shape[:-1] + (k,), x.dtype)
+        return jnp.concatenate([x[..., k:], pad], axis=-1)
+
+    idx_next = shift_back(idx, hop)
+    want_diff = ((sw1 - sw0) * bs) % n
+    diff = (idx_next - idx) % n
+    flagged = strong & shift_back(strong, hop) & (diff == want_diff)
+
+    # misalignment from the first sync bin, as a signed mod-n residue
+    d_bins = (idx - (sw0 * bs)) % n
+    d_signed = jnp.where(d_bins > n // 2, d_bins - n, d_bins)
+    d_samples = (d_signed // bs) * params.osr
+    w = jnp.arange(idx.shape[-1], dtype=jnp.int32) * stride
+    start = w - d_samples
+
+    # drop duplicate flags of the same packet at the neighbouring window
+    prev_flag = jnp.concatenate(
+        [jnp.zeros(flagged.shape[:-1] + (1,), bool), flagged[..., :-1]],
+        axis=-1)
+    prev_start = jnp.concatenate(
+        [jnp.zeros(start.shape[:-1] + (1,), jnp.int32), start[..., :-1]],
+        axis=-1)
+    dup = prev_flag & (jnp.abs(start - prev_start) <= dedupe_tol)
+    keep = flagged & ~dup
+    return keep, start

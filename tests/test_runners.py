@@ -135,3 +135,48 @@ def test_awgn_sweep_runner(tmp_path):
     assert len(vals) == 3
     assert vals[0][3] > 0.9      # PER ~1 at -14 dB
     assert vals[-1][3] < 0.05    # PER ~0 at -4 dB
+
+
+def test_stream_rx_runner(tmp_path):
+    """stream_rx CLI: multi-packet capture at arbitrary offsets -> one
+    line per packet with position, CRC verdict and payload."""
+    import jax.numpy as jnp
+
+    import lora_sdr_lightweight_standalone_library_clean_tpu as L
+    from lora_sdr_lightweight_standalone_library_clean_tpu.models.modem import (
+        crc_sx1272)
+
+    p = L.LoraParams(sf=7)
+    rng = np.random.default_rng(1)
+
+    def frame(body):
+        crc = int(np.asarray(crc_sx1272(jnp.asarray(body[2:]))))
+        return np.concatenate([body, [crc & 0xFF, crc >> 8]]).astype(np.uint8)
+
+    n_samp = 60000
+    sr = rng.standard_normal(n_samp).astype(np.float32) * 0.03
+    si = rng.standard_normal(n_samp).astype(np.float32) * 0.03
+    offsets = (1000, 40007)
+    payloads = []
+    for g in offsets:
+        pl = frame(rng.integers(0, 256, 6).astype(np.uint8))
+        payloads.append(pl)
+        re, im = L.modulate(L.encode(pl[None]), p)
+        sr[g:g + re.shape[-1]] += np.asarray(re)[0]
+        si[g:g + re.shape[-1]] += np.asarray(im)[0]
+    iq = np.empty(2 * n_samp, np.float32)
+    iq[0::2] = sr
+    iq[1::2] = si
+    cap = tmp_path / "capture.f32"
+    iq.tofile(cap)
+
+    r = run("stream_rx", f"--in={cap}", "--sf=7", "--payload-bytes=8",
+            "--chunk=16384")
+    assert r.returncode == 0, r.stderr.decode()
+    lines = r.stdout.decode().strip().splitlines()
+    assert len(lines) == 2
+    for line, g, pl in zip(lines, offsets, payloads):
+        start, crc_ok, payload_hex = line.split()
+        assert int(start) == g
+        assert crc_ok == "1"
+        assert payload_hex == bytes(pl).hex().upper()
