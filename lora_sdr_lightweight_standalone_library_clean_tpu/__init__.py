@@ -18,7 +18,8 @@ if _os.environ.get("JAX_PLATFORMS"):
 from .utils.config import LoraParams, Window, load_profiles, params_from_profile, STOCK_PROFILES
 from .utils import errors
 from .models.modem import (
-    encode, decode, modulate, demodulate, estimate_offsets,
+    encode, decode, modulate, demodulate, demodulate_wide,
+    estimate_offsets,
     compensate_offsets, dechirp, to_complex, from_complex, crc_sx1272,
     DemodResult, OffsetEstimate,
 )

@@ -37,7 +37,7 @@ from ..utils.errors import InvalidArgumentError, RangeError
 __all__ = [
     "DemodResult", "OffsetEstimate",
     "encode", "decode", "crc_sx1272",
-    "modulate", "demodulate",
+    "modulate", "demodulate", "demodulate_wide",
     "estimate_offsets", "compensate_offsets",
     "window_table", "to_complex", "from_complex", "dechirp",
 ]
@@ -302,7 +302,7 @@ def _symbol_bases(total: int, step: int, sample_count: int, t_off):
 
 
 def _timing_shifted_windows(iq_r, iq_i, t_off, total: int, step: int,
-                            osr: int, n: int):
+                            osr: int, n: int, decimate: bool = True):
     """Extract per-symbol decimated windows with the reference's per-symbol
     timing-shift clamps (phy.cpp:209-216) — gather-free.
 
@@ -354,9 +354,10 @@ def _timing_shifted_windows(iq_r, iq_i, t_off, total: int, step: int,
         jnp.where(use_un_last, last_un_r, wr[..., total - 1, :]))
     wi = wi.at[..., total - 1, :].set(
         jnp.where(use_un_last, last_un_i, wi[..., total - 1, :]))
-    # decimate: sample i*osr within each window
-    wr = wr.reshape(lead + (total, n, osr))[..., 0]
-    wi = wi.reshape(lead + (total, n, osr))[..., 0]
+    if decimate:
+        # decimate: sample i*osr within each window
+        wr = wr.reshape(lead + (total, n, osr))[..., 0]
+        wi = wi.reshape(lead + (total, n, osr))[..., 0]
     if not batched:
         wr, wi = wr[0], wi[0]
     return wr, wi
@@ -433,6 +434,105 @@ def demodulate(iq_r, iq_i, params: LoraParams,
         time_offset=est.time_offset,
         power=power,
         power_avg=power_avg,
+    )
+
+
+def demodulate_wide(iq_r, iq_i, params: LoraParams,
+                    normalize: bool = True) -> DemodResult:
+    """Injective oversampled demodulation: the BW-250/500 receiver the
+    reference cannot express.
+
+    The reference detector decimates each window to N samples and takes an
+    N-bin FFT, so its symbol->bin map is ``sym * bw_scale mod N`` — at
+    bw_scale > 1 the top log2(bw_scale) bits of every symbol are lost and
+    its own e2e chain fails for all BW-250/500 profiles (verified defect,
+    SURVEY §4.4.2; the demod down-chirp at phy.cpp:206-208 is generated at
+    osr=1, so its osr machinery never fixes it).  The *waveform* is
+    injective whenever osr >= bw_scale: this receiver keeps the full
+    oversampled window and detects over an (N*osr)-point MXU DFT, where
+    the tone lands at wide-bin ``sym * bw_scale`` — unambiguous.
+
+    Input is pre-dechirped at full rate (the ``dechirp`` helper's output),
+    like ``demodulate_tones``; offset estimation reuses the per-osr-phase
+    search (phy.cpp:100-123 semantics).  Requires osr >= bw_scale.
+
+    Returns a DemodResult; ``symbols`` are recovered symbol values
+    (already divided out of the wide-bin grid).
+    """
+    n, osr, step = params.n, params.osr, params.step
+    bs = params.bw_scale
+    if osr < bs:
+        raise InvalidArgumentError(
+            f"wide demodulation needs osr >= bw_scale ({osr} < {bs})")
+    sample_count = iq_r.shape[-1]
+    if sample_count % step != 0:
+        raise InvalidArgumentError(
+            f"sample count {sample_count} not a multiple of step {step}")
+    total = sample_count // step
+    if total < 2:
+        raise RangeError("input must contain at least two symbols")
+
+    if normalize:
+        max_amp = jnp.maximum(
+            jnp.max(jnp.abs(iq_r), axis=-1), jnp.max(jnp.abs(iq_i), axis=-1))
+        scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0)[..., None]
+        iq_r = iq_r * scale
+        iq_i = iq_i * scale
+
+    est_syms = min(total, 2)
+    est = _estimate_core(iq_r, iq_i, params, est_syms, tie_break_idx=True)
+    t_off = jnp.round(est.time_offset).astype(jnp.int32)
+    # CFO derotation over the full-rate window: the decimated-grid rate
+    # (-2*pi*cfo/n per decimated sample) spread over osr samples
+    rate = -TWO_PI * est.cfo / np.float32(n * osr)
+
+    zr, zi = _timing_shifted_windows(iq_r, iq_i, t_off, total, step, osr, n,
+                                     decimate=False)        # (..., S, step)
+    s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(step)
+    start = rate[..., None] * (s_idx + t_off.astype(jnp.float32)[..., None])
+    ph = start[..., None] + rate[..., None, None] * jnp.arange(
+        step, dtype=jnp.float32)
+    c, s_ = jnp.cos(ph), jnp.sin(ph)
+    fr = zr * c - zi * s_
+    fi = zr * s_ + zi * c
+    win = window_table(n, params.window)
+    if win is not None:
+        # reference windows the decimated grid; apply per decimated sample
+        w = jnp.repeat(jnp.asarray(win), osr)
+        fr = fr * w
+        fi = fi * w
+    det = detect_ri(fr, fi)                                  # N*osr bins
+
+    # Residual timing/CFO moves every tone by the same wide-bin offset; the
+    # two sync chirps are known pilots, so measure the common offset there
+    # and subtract it before snapping to the symbol grid (robust to the
+    # +-osr-sample rounding slack the decimated path hides in its
+    # per-phase search).
+    nn = step
+    exp0, exp1 = params.sync_nibble_symbols()
+
+    def signed_mod(x, m):
+        r = jnp.mod(x, m)
+        return jnp.where(r > m // 2, r - m, r)
+
+    d0 = signed_mod(det.index[..., 0] - exp0 * bs, nn).astype(jnp.float32)
+    d1 = signed_mod(det.index[..., 1] - exp1 * bs, nn).astype(jnp.float32)
+    delta = (d0 + d1) * 0.5
+    corrected = jnp.round(
+        (signed_mod(det.index - jnp.round(delta[..., None]).astype(jnp.int32),
+                    nn)).astype(jnp.float32) / np.float32(bs)
+    ).astype(jnp.int32)
+    sym_wide = jnp.mod(corrected, n)
+    sw0, sw1 = sym_wide[..., 0], sym_wide[..., 1]
+    shift = params.sf - 4 if params.sf > 4 else 0
+    sync = (((sw0 >> shift) & 0xF) << 4) | ((sw1 >> shift) & 0xF)
+    return DemodResult(
+        symbols=sym_wide[..., 2:].astype(jnp.uint16),
+        sync_word=sync.astype(jnp.uint8),
+        cfo=est.cfo,
+        time_offset=est.time_offset,
+        power=det.power,
+        power_avg=det.power_avg,
     )
 
 

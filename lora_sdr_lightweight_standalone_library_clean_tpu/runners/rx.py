@@ -16,8 +16,8 @@ import sys
 
 import numpy as np
 
-from .. import (LoraParams, decode, demodulate, demodulate_tones, dechirp,
-                from_complex)
+from .. import (LoraParams, decode, demodulate, demodulate_tones,
+                demodulate_wide, dechirp, from_complex)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -28,7 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--bw", type=int, default=125000)
     ap.add_argument("--cr", default="4/5")
     ap.add_argument("--osr", type=int, default=1)
-    ap.add_argument("--path", choices=["tones", "full"], default="tones")
+    ap.add_argument("--path", choices=["tones", "full", "wide"],
+                default="tones",
+                help="wide: injective osr>=bw_scale receiver for BW-250/500\n(demodulate_wide), beyond the reference")
     ap.add_argument("--report-offsets", action="store_true")
     return ap
 
@@ -49,6 +51,9 @@ def main(argv=None) -> int:
     rr, ri = from_complex(iq[:usable][None])
     if args.path == "full":
         res = demodulate(rr, ri, params)
+    elif args.path == "wide":
+        dr, di = dechirp(rr, ri, params)
+        res = demodulate_wide(dr, di, params)
     else:
         dr, di = dechirp(rr, ri, params)
         res = demodulate_tones(dr, di, params)
