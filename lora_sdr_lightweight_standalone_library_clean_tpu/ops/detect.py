@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .dft import dft_ri
@@ -49,7 +50,7 @@ def detect_ri(zr, zi, method: str = "auto") -> DetectResult:
     mag2 = xr * xr + xi * xi                                  # (..., N)
 
     idx = jnp.argmax(mag2, axis=-1).astype(jnp.int32)         # first max
-    max_val = jnp.take_along_axis(mag2, idx[..., None], axis=-1)[..., 0]
+    max_val = jnp.max(mag2, axis=-1)
     total = jnp.sum(mag2, axis=-1)
 
     fundamental = jnp.sqrt(max_val)
@@ -58,13 +59,19 @@ def detect_ri(zr, zi, method: str = "auto") -> DetectResult:
     power = 20.0 * jnp.log10(fundamental) - scale
     power_avg = 20.0 * jnp.log10(noise) - scale
 
-    left_idx = jnp.where(idx > 0, idx - 1, n - 1)
-    right_idx = jnp.where(idx < n - 1, idx + 1, 0)
-    left = jnp.sqrt(jnp.take_along_axis(mag2, left_idx[..., None], -1)[..., 0])
-    right = jnp.sqrt(jnp.take_along_axis(mag2, right_idx[..., None], -1)[..., 0])
+    # winning-bin selections as one-hot masked reductions: gathers
+    # (take_along_axis) are an order of magnitude slower on TPU than these
+    # vectorized select+reduce passes, and the results are identical
+    onehot = jax.lax.broadcasted_iota(
+        jnp.int32, mag2.shape, mag2.ndim - 1) == idx[..., None]
+    oh_left = jnp.roll(onehot, -1, axis=-1)    # 1 at (idx-1) mod n
+    oh_right = jnp.roll(onehot, 1, axis=-1)    # 1 at (idx+1) mod n
+    zero = jnp.zeros_like(mag2)
+    left = jnp.sqrt(jnp.sum(jnp.where(oh_left, mag2, zero), axis=-1))
+    right = jnp.sqrt(jnp.sum(jnp.where(oh_right, mag2, zero), axis=-1))
     demon = 2.0 * fundamental - right - left
     findex = jnp.where(demon == 0.0, 0.0, 0.5 * (right - left) / demon)
 
-    bin_re = jnp.take_along_axis(xr, idx[..., None], axis=-1)[..., 0]
-    bin_im = jnp.take_along_axis(xi, idx[..., None], axis=-1)[..., 0]
+    bin_re = jnp.sum(jnp.where(onehot, xr, zero), axis=-1)
+    bin_im = jnp.sum(jnp.where(onehot, xi, zero), axis=-1)
     return DetectResult(idx, power, power_avg, findex, bin_re, bin_im, max_val)

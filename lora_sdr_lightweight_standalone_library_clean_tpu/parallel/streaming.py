@@ -42,19 +42,43 @@ class StreamScan(NamedTuple):
     power_avg: jnp.ndarray
 
 
+def _stride_windows(ext, total: int, step: int, stride: int, n: int,
+                    osr: int):
+    """All stride-aligned decimated windows of ``ext`` — gather-free.
+
+    Stride-aligned windows are regular: phase j (j in [0, step/stride))
+    windows are a plain reshape of ``ext[j*stride:]``.  The phases are
+    interleaved back so window w corresponds to start w*stride.  Output
+    (..., W, n) where W = total // stride.
+    """
+    phases = step // stride
+    windows = total // stride
+    per = -(-windows // phases)       # step-aligned windows per phase
+    need = (phases - 1) * stride + per * step
+    if need > ext.shape[-1]:
+        pad = [(0, 0)] * (ext.ndim - 1) + [(0, need - ext.shape[-1])]
+        ext = jnp.pad(ext, pad)
+    cols = []
+    for j in range(phases):
+        sl = lax.slice_in_dim(ext, j * stride, j * stride + per * step,
+                              axis=-1)
+        w = sl.reshape(sl.shape[:-1] + (per, n, osr))[..., 0]
+        cols.append(w)
+    # (..., per, phases, n) -> (..., W, n) with w = p*phases + j
+    stacked = jnp.stack(cols, axis=-2)
+    all_w = stacked.reshape(stacked.shape[:-3] + (per * phases, n))
+    return all_w[..., :windows, :]
+
+
 def _scan_block(iq_r, iq_i, halo_r, halo_i, params: LoraParams, stride: int):
     """Detect every stride-aligned window starting in [block]; windows whose
     tail crosses the block edge read from the halo."""
-    n, osr = params.n, params.osr
+    n, osr, step = params.n, params.osr, params.step
     ext_r = jnp.concatenate([iq_r, halo_r], axis=-1)
     ext_i = jnp.concatenate([iq_i, halo_i], axis=-1)
-    windows = iq_r.shape[-1] // stride
-    starts = jnp.arange(windows, dtype=jnp.int32) * stride
-    gather = starts[:, None] + jnp.arange(n, dtype=jnp.int32) * osr
-    zr = ext_r[..., gather] if ext_r.ndim == 1 else jnp.take_along_axis(
-        ext_r[..., None, :], gather, axis=-1)
-    zi = ext_i[..., gather] if ext_i.ndim == 1 else jnp.take_along_axis(
-        ext_i[..., None, :], gather, axis=-1)
+    total = iq_r.shape[-1]
+    zr = _stride_windows(ext_r, total, step, stride, n, osr)
+    zi = _stride_windows(ext_i, total, step, stride, n, osr)
     dcr, dci = downchirp_ri(params.sf, params.bw_scale)
     dcr = jnp.asarray(dcr)
     dci = jnp.asarray(dci)
