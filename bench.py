@@ -47,7 +47,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import lora_sdr_lightweight_standalone_library_clean_tpu as L
 from lora_sdr_lightweight_standalone_library_clean_tpu.parallel.streaming import (
-    stream_scan, find_sync_starts)
+    stream_scan, find_packet_starts)
+from lora_sdr_lightweight_standalone_library_clean_tpu.parallel.mesh import (
+    make_mesh, shard_packets)
 
 BASELINE_PPS = {
     "sf7_bw125_cr45": 4036.5,
@@ -77,13 +79,15 @@ def detection_flops(n: int, symbols: int) -> int:
     return symbols * per
 
 
-def make_loop(params: L.LoraParams, iters: int):
+def make_loop(params: L.LoraParams):
     """Device-side loop: each iteration feeds the previous iteration's
     detected symbols back into modulate, a genuine sequential dependency
-    XLA cannot elide, with zero host round-trips inside."""
+    XLA cannot elide, with zero host round-trips inside.  ``iters`` is a
+    dynamic argument (lax.fori_loop lowers to a while op) so the same
+    executable serves the short and long timing runs."""
 
-    @partial(jax.jit, static_argnames=())
-    def loop(symbols):
+    @jax.jit
+    def loop(symbols, iters):
         def body(_, syms):
             re, im = L.modulate(syms, params)
             dr, di = L.dechirp(re, im, params)
@@ -95,12 +99,12 @@ def make_loop(params: L.LoraParams, iters: int):
     return loop
 
 
-def make_full_rx_loop(params: L.LoraParams, iters: int):
+def make_full_rx_loop(params: L.LoraParams):
     """Same but through the dechirping full-RX ``demodulate`` path
     (phy.cpp:182-243)."""
 
     @jax.jit
-    def loop(symbols):
+    def loop(symbols, iters):
         def body(_, syms):
             re, im = L.modulate(syms, params)
             res = L.demodulate(re, im, params)
@@ -114,51 +118,105 @@ def make_full_rx_loop(params: L.LoraParams, iters: int):
     return loop
 
 
-def bench_profile(profile: dict, batch: int, iters: int = 12):
+def slope_time(loop, args, iters_short: int = 4, target: float = 1.0,
+               iters_cap: int = 2048) -> float:
+    """Per-iteration device time via a two-point slope.
+
+    One dispatch through the axon tunnel costs ~30 ms of host<->device
+    sync regardless of device work; dividing one wall measurement by the
+    iteration count therefore *overstates* per-iteration time.  Timing a
+    short and a long loop and taking the slope cancels the constant term
+    exactly.  ``loop(args..., iters)`` must accept a dynamic count."""
+    int(loop(*args, iters_short))             # compile + warm
+    t0 = time.perf_counter()
+    int(loop(*args, iters_short))
+    wall_short = time.perf_counter() - t0
+    iters = int(min(iters_cap,
+                    max(iters_short * 2,
+                        iters_short * target / max(wall_short, 1e-6))))
+    int(loop(*args, iters))
+    t0 = time.perf_counter()
+    int(loop(*args, iters))
+    wall_long = time.perf_counter() - t0
+    return (wall_long - wall_short) / (iters - iters_short)
+
+
+def bench_profile(profile: dict, batch: int):
     """Packets/s through the device-looped pipeline + secondary rails."""
     params = L.params_from_profile(profile)
     payloads = np.tile(np.arange(PAYLOAD_SIZE, dtype=np.uint8), (batch, 1))
     symbols = jnp.asarray(np.asarray(L.encode(payloads)))
 
-    loop = make_loop(params, iters)
-    int(loop(symbols))                        # compile + warm run
-    t0 = time.perf_counter()
-    int(loop(symbols))                        # one dispatch, iters on device
-    dt = (time.perf_counter() - t0) / iters
+    dt = slope_time(make_loop(params), (symbols,))
     pps = batch / dt
-
-    full = make_full_rx_loop(params, max(iters // 2, 2))
-    int(full(symbols))
-    t0 = time.perf_counter()
-    int(full(symbols))
-    full_dt = (time.perf_counter() - t0) / max(iters // 2, 2)
+    full_dt = slope_time(make_full_rx_loop(params), (symbols,))
     full_pps = batch / full_dt
     return pps, full_pps, dt
 
 
 def bench_stream(params: L.LoraParams, n_packets: int = 64,
-                 repeats: int = 512, iters: int = 8) -> float:
-    """Msamples/s of the overlap-save stream scan (sync detection over a
-    continuous stream, symbol-aligned stride)."""
+                 tile: int = 16, stride_div: int = 4,
+                 backend: str = "auto") -> float:
+    """Msamples/s of the overlap-save stream scan at the deployment config:
+    sub-symbol stride (step/4, the receive_stream default) + arbitrary-offset
+    packet-start detection.  backend='auto' rides the fused Pallas stream
+    kernel on TPU; 'jnp' measures the fallback for comparison.
+
+    Timed with the two-point slope (see ``slope_time``): the fused scan
+    runs ~0.1 ms per MSample, far below one ~30 ms tunnel dispatch."""
+    stride = max(params.step // stride_div, 1)
     payloads = np.tile(np.arange(4, dtype=np.uint8), (n_packets, 1))
     syms = L.encode(payloads)
     re, im = L.modulate(jnp.asarray(syms), params)
-    sr = jnp.tile(re.reshape(-1), 4)
-    si = jnp.tile(im.reshape(-1), 4)
+    sr = jnp.tile(re.reshape(-1), tile)
+    si = jnp.tile(im.reshape(-1), tile)
 
     @jax.jit
-    def loop(r, i):
+    def loop(r, i, iters):
         def body(_, acc):
-            scan = stream_scan(r, i, params)
-            hits = find_sync_starts(scan, params)
+            # 1e-30 * acc never changes any f32 signal sample, but makes
+            # each iteration's input data-dependent so XLA cannot hoist
+            # the (otherwise loop-invariant) scan out of the while body
+            eps = acc.astype(jnp.float32) * 1e-30
+            scan = stream_scan(r + eps, i + eps, params, stride=stride,
+                               backend=backend)
+            hits, _ = find_packet_starts(scan, params, stride=stride)
             return acc + jnp.sum(hits.astype(jnp.int32))
         return lax.fori_loop(0, iters, body, jnp.int32(0))
 
-    int(loop(sr, si))
-    t0 = time.perf_counter()
-    int(loop(sr, si))
-    dt = (time.perf_counter() - t0) / iters
-    return sr.shape[-1] / dt / 1e6
+    dt = slope_time(loop, (sr, si), iters_short=8)
+    return sr.shape[-1] / max(dt, 1e-9) / 1e6
+
+
+def bench_mesh(profile: dict, dp: int, iters: int = 6):
+    """Multi-device scaling rail (BASELINE.md target: >= 80% linear).
+
+    Shards the packet batch over a ('dp', 'sp') mesh and measures
+    samples/s/chip at dp=1 and dp=N through the device-looped pipeline.
+    Runs identically on N real chips or N forced host devices — the
+    correctness/shape rail today, the pod measurement later.
+    """
+    params = L.params_from_profile(profile)
+    n = 1 << profile["sf"]
+    results = {}
+    for d in sorted({1, dp}):
+        if d > len(jax.devices()):
+            results[d] = None
+            continue
+        batch = max(256 // d, 32) * d
+        mesh = make_mesh(n_devices=d, dp=d, sp=1)
+        payloads = np.tile(np.arange(PAYLOAD_SIZE, dtype=np.uint8),
+                           (batch, 1))
+        symbols = shard_packets(jnp.asarray(np.asarray(L.encode(payloads))),
+                                mesh)
+        dt = slope_time(make_loop(params), (symbols,), iters_short=iters,
+                        target=0.5)
+        pps = batch / dt
+        results[d] = pps * SYMS * n * params.osr / d   # samples/s/chip
+    eff = None
+    if results.get(1) and results.get(dp) and dp > 1:
+        eff = results[dp] / results[1]
+    return results, eff
 
 
 def onchip_parity(profile: dict, batch: int = 64) -> str:
@@ -188,6 +246,11 @@ def main():
                     help="capture an xprof trace of one sf7 step")
     ap.add_argument("--quick", action="store_true",
                     help="headline profile only")
+    ap.add_argument("--mesh", default=None, metavar="dp=N",
+                    help="also run the multi-device scaling rail, e.g. "
+                         "--mesh dp=8 (requires N devices; use "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=N"
+                         " JAX_PLATFORMS=cpu for a virtual mesh)")
     args = ap.parse_args()
 
     run_id = os.environ.get("RUN_ID", "run")
@@ -223,13 +286,36 @@ def main():
               f"(MFU {mfu * 100:.1f}%) | {ns_sym:,.0f} ns/sym | "
               f"kernel-parity {parity}", file=sys.stderr)
 
-    # stream-scan rail (sf7)
+    # stream-scan rail (sf7, deployment stride = step/4)
     try:
-        stream_ms = bench_stream(L.params_from_profile(profiles[0]))
-        print(f"stream_scan sf7: {stream_ms:,.0f} Msamples/s",
-              file=sys.stderr)
+        p0 = L.params_from_profile(profiles[0])
+        stream_ms = bench_stream(p0)
+        row = f"stream_scan sf7 stride/4: {stream_ms:,.0f} Msamples/s"
+        if not args.quick:
+            jnp_ms = bench_stream(p0, backend="jnp")
+            row += f" (jnp fallback {jnp_ms:,.0f})"
+            stream12 = bench_stream(L.params_from_profile(profiles[-1]),
+                                    n_packets=8, tile=4)
+            row += f" | sf12: {stream12:,.0f} Msamples/s"
+        print(row, file=sys.stderr)
     except Exception as e:
         print(f"stream_scan: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+
+    if args.mesh:
+        dp = int(args.mesh.split("=")[1])
+        res, eff = bench_mesh(profiles[0], dp)
+        for d, sps in sorted(res.items()):
+            if sps:
+                print(f"mesh dp={d}: {sps / 1e6:,.0f} Msamples/s/chip",
+                      file=sys.stderr)
+        if eff is not None:
+            print(f"scaling efficiency dp={dp} vs dp=1: {eff * 100:.1f}% "
+                  f"(target >= 80%, BASELINE.md)", file=sys.stderr)
+        os.makedirs("logs", exist_ok=True)
+        with open(f"logs/scaling_{run_id}.json", "w") as f:
+            json.dump({"dp": dp, "samples_per_sec_per_chip":
+                       {str(k): v for k, v in res.items()},
+                       "efficiency": eff}, f)
 
     if args.profile:
         os.makedirs("logs/xprof", exist_ok=True)
@@ -237,10 +323,10 @@ def main():
         payloads = np.tile(np.arange(PAYLOAD_SIZE, dtype=np.uint8),
                            (batches[7], 1))
         symbols = jnp.asarray(np.asarray(L.encode(payloads)))
-        loop = make_loop(params, 2)
-        int(loop(symbols))
+        loop = make_loop(params)
+        int(loop(symbols, 2))
         with jax.profiler.trace("logs/xprof"):
-            int(loop(symbols))
+            int(loop(symbols, 2))
         print("xprof trace written to logs/xprof/", file=sys.stderr)
 
     os.makedirs("logs", exist_ok=True)

@@ -32,6 +32,8 @@ behaviour.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -46,6 +48,9 @@ __all__ = [
 ]
 
 PI = np.float32(np.pi)
+
+# Factored tone synthesis above this size (mirrors ops/dft.py's DFT split).
+_TX_FACTOR_THRESHOLD = 512
 
 
 def _wrap_count_prefix(t, b: int):
@@ -103,26 +108,40 @@ def exact_prefix_sum_mod(delta, mod: int):
     return jnp.mod(total, mod)
 
 
-def modulate_ri(symbols, params: LoraParams, amplitude: float = 1.0):
+def _with_sync_prelude(symbols, params: LoraParams):
+    """Prepend the two sync-word chirp symbols (LoRaMod.cpp:20-32)."""
+    sym = jnp.asarray(symbols, jnp.int32)
+    sw0, sw1 = params.sync_nibble_symbols()
+    sync = jnp.broadcast_to(
+        jnp.asarray([sw0, sw1], jnp.int32), sym.shape[:-1] + (2,)
+    )
+    return jnp.concatenate([sync, sym], axis=-1)               # (..., S+2)
+
+
+def modulate_ri(symbols, params: LoraParams, amplitude: float = 1.0,
+                method: str = "auto"):
     """Modulate symbols into IQ planes (LoRaMod.cpp:8-43).
 
     Emits the two sync-word chirps followed by one up-chirp per symbol with a
     packet-wide exactly-carried phase.  Batched over any leading axes of
     ``symbols``.
 
+    ``method``: 'auto' picks the MXU tone-matmul synthesis at osr == 1 (see
+    ``_modulate_ri_mxu``) and the closed-form VPU phases otherwise; 'vpu' /
+    'mxu' force a path.  Both are float32 roundings of the same exact
+    integer phase; they differ only in last-ULP placement.
+
     Returns (re, im) float32 arrays of shape (..., (S+2) * n * osr).
     """
+    if method == "mxu" or (method == "auto" and params.osr == 1):
+        return _modulate_ri_mxu(symbols, params, amplitude)
     n, osr, bs = params.n, params.osr, params.bw_scale
     nn = n * osr
     d = n * osr * osr
     amplitude = float(np.clip(amplitude, -1.0, 1.0))  # LoRaMod.cpp:18
 
     sym = jnp.asarray(symbols, jnp.int32)
-    sw0, sw1 = params.sync_nibble_symbols()
-    sync = jnp.broadcast_to(
-        jnp.asarray([sw0, sw1], jnp.int32), sym.shape[:-1] + (2,)
-    )
-    allsyms = jnp.concatenate([sync, sym], axis=-1)            # (..., S+2)
+    allsyms = _with_sync_prelude(sym, params)                  # (..., S+2)
 
     num, delta = chirp_phase_numerators(allsyms, n, osr, bs, nn)
     start = exact_prefix_sum_mod(delta, 2 * d)                  # (..., S+2)
@@ -131,6 +150,114 @@ def modulate_ri(symbols, params: LoraParams, amplitude: float = 1.0):
     im = amplitude * jnp.sin(phi)
     out_shape = sym.shape[:-1] + (-1,)
     return re.reshape(out_shape), im.reshape(out_shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _tx_base_chirp(n: int, bs: int):
+    """(n,) symbol-0 base chirp ``base[m] = exp(j*pi*bs*(m*(m+1) - m*n)/n)``.
+
+    Sample index runs m = 1..n (``genChirp`` integrates phase *before*
+    emitting, ChirpGenerator.hpp:37-38, so sample 0 already has one
+    frequency step).  Angle arguments are exact integer residues.
+    """
+    m = np.arange(1, n + 1, dtype=np.int64)
+    bnum = np.mod(bs * (m * (m + 1) - m * n), 2 * n)
+    bphi = np.pi * bnum.astype(np.float64) / n
+    return np.cos(bphi).astype(np.float32), np.sin(bphi).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _tx_tone_tables(n: int):
+    """(n, n) tone tables ``w[t, m] = exp(2j*pi*t*m/n)`` at m = 1..n."""
+    m = np.arange(1, n + 1, dtype=np.int64)
+    t = np.arange(n, dtype=np.int64)
+    ang = 2.0 * np.pi * ((t[:, None] * m[None, :]) % n) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _tx_tone_tables_factored(n: int, n2: int):
+    """Factored tone tables: ``w1[t1, m1] = exp(2j*pi*t1*m1/n1)`` (n1 = n/n2)
+    and ``w2[t, m2] = exp(2j*pi*t*m2/n)`` so that, with m' = m mod n written
+    as m' = m1*n2 + m2, ``w[t, m] = w1[t mod n1, m1] * w2[t, m2]``."""
+    n1 = n // n2
+    t = np.arange(n, dtype=np.int64)
+    m1 = np.arange(n1, dtype=np.int64)
+    m2 = np.arange(n2, dtype=np.int64)
+    a1 = 2.0 * np.pi * ((t[:n1, None] * m1[None, :]) % n1) / n1
+    a2 = 2.0 * np.pi * ((t[:, None] * m2[None, :]) % n) / n
+    return (np.cos(a1).astype(np.float32), np.sin(a1).astype(np.float32),
+            np.cos(a2).astype(np.float32), np.sin(a2).astype(np.float32))
+
+
+def _modulate_ri_mxu(symbols, params: LoraParams, amplitude: float = 1.0):
+    """MXU tone-matmul chirp synthesis (osr == 1).
+
+    At osr == 1 the wrap-count term of the integer phase vanishes mod 2*pi
+    (2*W*N = 0 mod 2N), so every chirp factors exactly into
+
+        chirp_s[m] = sign_k * base[m] * w^(t*m),  t = (s*bs) mod n
+
+    with ``sign_k`` the carried packet phase (delta per symbol is bs*N mod
+    2N, independent of the symbol: alternating +-1 for bs odd, +1 for bs
+    even).  The tone factor is a one-hot matmul against the (n, n) DFT-row
+    table — MXU work instead of per-sample VPU sin/cos, which dominates the
+    TX profile (the analog of the reference hot loop
+    ChirpGenerator.hpp:33-48).  n >= 1024 uses the two-stage factorization
+    w^(t*m) = w1^(t1*m1) * w2^(t*m2) to cut FLOPs by ~n/(n2+n1^2/n).
+    """
+    n, bs = params.n, params.bw_scale
+    assert params.osr == 1
+    amplitude = np.float32(np.clip(amplitude, -1.0, 1.0))  # LoRaMod.cpp:18
+
+    allsyms = _with_sync_prelude(symbols, params)              # (..., S+2)
+    s_total = allsyms.shape[-1]
+    tone = jnp.mod(allsyms * bs, n)                            # (..., S+2)
+
+    bc, bsn = (jnp.asarray(a) for a in _tx_base_chirp(n, bs))
+    if n <= _TX_FACTOR_THRESHOLD:
+        wc, ws = (jnp.asarray(a) for a in _tx_tone_tables(n))
+        oh = (jax.lax.broadcasted_iota(jnp.int32, tone.shape + (n,),
+                                       tone.ndim) == tone[..., None])
+        ohf = oh.astype(jnp.float32)
+        c = jnp.einsum("...sn,nm->...sm", ohf, wc)
+        s_ = jnp.einsum("...sn,nm->...sm", ohf, ws)
+    else:
+        n2 = 128
+        n1 = n // n2
+        w1c, w1s, w2c, w2s = (jnp.asarray(a)
+                              for a in _tx_tone_tables_factored(n, n2))
+        oh1 = (jax.lax.broadcasted_iota(
+            jnp.int32, tone.shape + (n1,), tone.ndim)
+            == jnp.mod(tone, n1)[..., None]).astype(jnp.float32)
+        ohn = (jax.lax.broadcasted_iota(
+            jnp.int32, tone.shape + (n,), tone.ndim)
+            == tone[..., None]).astype(jnp.float32)
+        f1c = jnp.einsum("...sn,nm->...sm", oh1, w1c)          # (..., S, n1)
+        f1s = jnp.einsum("...sn,nm->...sm", oh1, w1s)
+        f2c = jnp.einsum("...sn,nm->...sm", ohn, w2c)          # (..., S, n2)
+        f2s = jnp.einsum("...sn,nm->...sm", ohn, w2s)
+        # w[t, m1*n2 + m2] = f1[m1] * f2[m2]; m = 1..n maps to
+        # m' = m mod n whose digits are (m1, m2) of m' = m1*n2 + m2 —
+        # build in digit order then roll so columns follow m = 1..n
+        c4 = (f1c[..., :, None] * f2c[..., None, :]
+              - f1s[..., :, None] * f2s[..., None, :])
+        s4 = (f1c[..., :, None] * f2s[..., None, :]
+              + f1s[..., :, None] * f2c[..., None, :])
+        c = jnp.roll(c4.reshape(c4.shape[:-2] + (n,)), -1, axis=-1)
+        s_ = jnp.roll(s4.reshape(s4.shape[:-2] + (n,)), -1, axis=-1)
+
+    re = bc * c - bsn * s_
+    im = bc * s_ + bsn * c
+    if (bs * n) % (2 * n):                                     # bs odd
+        sign = jnp.asarray(
+            np.where(np.arange(s_total) % 2 == 0, 1.0, -1.0)
+            .astype(np.float32))
+        re = re * sign[:, None]
+        im = im * sign[:, None]
+    out_shape = allsyms.shape[:-1] + (s_total * n,)
+    return ((amplitude * re).reshape(out_shape),
+            (amplitude * im).reshape(out_shape))
 
 
 def downchirp_ri(sf: int, bw_scale: int, osr: int = 1,

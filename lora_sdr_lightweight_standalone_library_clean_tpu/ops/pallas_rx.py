@@ -74,6 +74,80 @@ def _rx_factors(n: int) -> tuple[int, int]:
     return n // n2, n2
 
 
+def _dft_mag_argmax(ar, ai, mats, n: int, rows: int, factored: bool):
+    """In-kernel DFT -> |bin|^2 -> (first-max idx, max, total) reduction.
+
+    ``ar``/``ai`` are (rows, n) dechirped windows already in VMEM; ``mats``
+    are the loaded DFT constant arrays (dense: [cos, sin]; factored:
+    [c1, s1, c2, s2, tc, ts]).  Shared by the packet RX kernel and the
+    streaming-scan kernel — identical math, identical lowest-index tie rule
+    (LoRaDetector.hpp:53).  Returns (idx, max_val, total) each (rows, 1).
+    """
+    if not factored:
+        cm, sm = mats
+        xr = (jnp.dot(ar, cm, preferred_element_type=jnp.float32)
+              + jnp.dot(ai, sm, preferred_element_type=jnp.float32))
+        xi = (jnp.dot(ai, cm, preferred_element_type=jnp.float32)
+              - jnp.dot(ar, sm, preferred_element_type=jnp.float32))
+        mag2 = xr * xr + xi * xi                     # (rows, n) natural order
+        idx = jnp.argmax(mag2, axis=-1, keepdims=True).astype(jnp.int32)
+        max_val = jnp.max(mag2, axis=-1, keepdims=True)
+        total = jnp.sum(mag2, axis=-1, keepdims=True)
+        return idx, max_val, total
+
+    n1, n2 = _rx_factors(n)
+    c1, s1, c2, s2, tc_m, ts_m = mats
+    # (rows, n1, n2) -> (n1, rows, n2): sublane transpose, lanes intact
+    x3r = jnp.transpose(ar.reshape(rows, n1, n2), (1, 0, 2))
+    x3i = jnp.transpose(ai.reshape(rows, n1, n2), (1, 0, 2))
+    x2r = x3r.reshape(n1, rows * n2)
+    x2i = x3i.reshape(n1, rows * n2)
+    # stage 1: left-matmul over n1 -> Y[k1, (r, b)]
+    yr = (jnp.dot(c1, x2r, preferred_element_type=jnp.float32)
+          + jnp.dot(s1, x2i, preferred_element_type=jnp.float32))
+    yi = (jnp.dot(c1, x2i, preferred_element_type=jnp.float32)
+          - jnp.dot(s1, x2r, preferred_element_type=jnp.float32))
+    y3r = yr.reshape(n1, rows, n2)
+    y3i = yi.reshape(n1, rows, n2)
+    tc = tc_m[:, None, :]                            # (n1, 1, n2) twiddles
+    ts = ts_m[:, None, :]
+    br = (y3r * tc + y3i * ts).reshape(n1 * rows, n2)
+    bi = (y3i * tc - y3r * ts).reshape(n1 * rows, n2)
+    # stage 2: contract the n2 lane axis -> X[(k1, r), k2]
+    xr = (jnp.dot(br, c2, preferred_element_type=jnp.float32)
+          + jnp.dot(bi, s2, preferred_element_type=jnp.float32))
+    xi = (jnp.dot(bi, c2, preferred_element_type=jnp.float32)
+          - jnp.dot(br, s2, preferred_element_type=jnp.float32))
+    m3 = (xr * xr + xi * xi).reshape(n1, rows, n2)
+    # back to row-major (rows, n1, n2): sublane transpose, so all
+    # remaining reductions shrink the lane/minor axes (clean layouts)
+    mag2 = jnp.transpose(m3, (1, 0, 2))
+    max_val = jnp.max(jnp.max(mag2, axis=2), axis=1, keepdims=True)
+    total = jnp.sum(jnp.sum(mag2, axis=2), axis=1, keepdims=True)
+    # first-max over natural bin order: minimize k2*n1 + k1 among maxima
+    k1i = lax.broadcasted_iota(jnp.int32, (rows, n1, n2), 1)
+    k2i = lax.broadcasted_iota(jnp.int32, (rows, n1, n2), 2)
+    nat = k2i * n1 + k1i
+    hit = mag2 == max_val[..., None]                  # (rows,1,1) broadcast
+    idx = jnp.min(jnp.min(jnp.where(hit, nat, n), axis=2), axis=1,
+                  keepdims=True)                      # (rows, 1)
+    return idx, max_val, total
+
+
+def _dft_const_arrays(n: int, factored: bool):
+    """Host DFT constant arrays for the in-kernel DFT (dense or factored)."""
+    if factored:
+        n1, n2 = _rx_factors(n)
+        c1, s1 = map(jnp.asarray, _dft_mats(n1))
+        c2, s2 = map(jnp.asarray, _dft_mats(n2))
+        tc_np, ts_np = _twiddle(n1, n2)              # (n2, n1) -> (n1, n2)
+        tc = jnp.asarray(np.ascontiguousarray(tc_np.T))
+        ts = jnp.asarray(np.ascontiguousarray(ts_np.T))
+        return [c1, s1, c2, s2, tc, ts]
+    cm, sm = map(jnp.asarray, _dft_mats(n))
+    return [cm, sm]
+
+
 def _shifted_windows(slab_ref, p, t, tm, srows, step, s_pad, s_real):
     """Timing-shifted windows of one packet's slab (phy.cpp:209-216).
 
@@ -140,56 +214,11 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
     rows = p_tile * s_pad
 
     if not factored:
-        cm = c_ref[...]
-        sm = s_ref[...]
-        xr = (jnp.dot(ar, cm, preferred_element_type=jnp.float32)
-              + jnp.dot(ai, sm, preferred_element_type=jnp.float32))
-        xi = (jnp.dot(ai, cm, preferred_element_type=jnp.float32)
-              - jnp.dot(ar, sm, preferred_element_type=jnp.float32))
-        mag2 = xr * xr + xi * xi                     # (rows, n) natural order
-        idx = jnp.argmax(mag2, axis=-1, keepdims=True).astype(jnp.int32)
-        max_val = jnp.max(mag2, axis=-1, keepdims=True)
-        total = jnp.sum(mag2, axis=-1, keepdims=True)
+        mats = [c_ref[...], s_ref[...]]
     else:
-        n1, n2 = _rx_factors(n)
-        # (rows, n1, n2) -> (n1, rows, n2): sublane transpose, lanes intact
-        x3r = jnp.transpose(ar.reshape(rows, n1, n2), (1, 0, 2))
-        x3i = jnp.transpose(ai.reshape(rows, n1, n2), (1, 0, 2))
-        x2r = x3r.reshape(n1, rows * n2)
-        x2i = x3i.reshape(n1, rows * n2)
-        c1 = c1_ref[...]                             # (n1, n1) symmetric
-        s1 = s1_ref[...]
-        # stage 1: left-matmul over n1 -> Y[k1, (r, b)]
-        yr = (jnp.dot(c1, x2r, preferred_element_type=jnp.float32)
-              + jnp.dot(s1, x2i, preferred_element_type=jnp.float32))
-        yi = (jnp.dot(c1, x2i, preferred_element_type=jnp.float32)
-              - jnp.dot(s1, x2r, preferred_element_type=jnp.float32))
-        y3r = yr.reshape(n1, rows, n2)
-        y3i = yi.reshape(n1, rows, n2)
-        tc = tc_ref[...][:, None, :]                 # (n1, 1, n2) twiddles
-        ts = ts_ref[...][:, None, :]
-        br = (y3r * tc + y3i * ts).reshape(n1 * rows, n2)
-        bi = (y3i * tc - y3r * ts).reshape(n1 * rows, n2)
-        c2 = c2_ref[...]                             # (n2, n2) symmetric
-        s2 = s2_ref[...]
-        # stage 2: contract the n2 lane axis -> X[(k1, r), k2]
-        xr = (jnp.dot(br, c2, preferred_element_type=jnp.float32)
-              + jnp.dot(bi, s2, preferred_element_type=jnp.float32))
-        xi = (jnp.dot(bi, c2, preferred_element_type=jnp.float32)
-              - jnp.dot(br, s2, preferred_element_type=jnp.float32))
-        m3 = (xr * xr + xi * xi).reshape(n1, rows, n2)
-        # back to row-major (rows, n1, n2): sublane transpose, so all
-        # remaining reductions shrink the lane/minor axes (clean layouts)
-        mag2 = jnp.transpose(m3, (1, 0, 2))
-        max_val = jnp.max(jnp.max(mag2, axis=2), axis=1, keepdims=True)
-        total = jnp.sum(jnp.sum(mag2, axis=2), axis=1, keepdims=True)
-        # first-max over natural bin order: minimize k2*n1 + k1 among maxima
-        k1i = lax.broadcasted_iota(jnp.int32, (rows, n1, n2), 1)
-        k2i = lax.broadcasted_iota(jnp.int32, (rows, n1, n2), 2)
-        nat = k2i * n1 + k1i
-        hit = mag2 == max_val[..., None]              # (rows,1,1) broadcast
-        idx = jnp.min(jnp.min(jnp.where(hit, nat, n), axis=2), axis=1,
-                      keepdims=True)                  # (rows, 1)
+        mats = [c1_ref[...], s1_ref[...], c2_ref[...], s2_ref[...],
+                tc_ref[...], ts_ref[...]]
+    idx, max_val, total = _dft_mag_argmax(ar, ai, mats, n, rows, factored)
 
     scale_db = np.float32(20.0 * np.log10(n))
     fund = jnp.sqrt(max_val)
@@ -226,17 +255,7 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
     pi = jnp.pad(stream_i, ((0, 0), (step, pad_r))).reshape(b_pad, srows, step)
 
     factored = n > 512
-    if factored:
-        n1, n2 = _rx_factors(n)
-        c1, s1 = map(jnp.asarray, _dft_mats(n1))
-        c2, s2 = map(jnp.asarray, _dft_mats(n2))
-        tc_np, ts_np = _twiddle(n1, n2)              # (n2, n1) -> (n1, n2)
-        tc = jnp.asarray(np.ascontiguousarray(tc_np.T))
-        ts = jnp.asarray(np.ascontiguousarray(ts_np.T))
-        mats = [c1, s1, c2, s2, tc, ts]
-    else:
-        cm, sm = map(jnp.asarray, _dft_mats(n))
-        mats = [cm, sm]
+    mats = _dft_const_arrays(n, factored)
     mat_specs = [pl.BlockSpec(m.shape, lambda i, nd=m.ndim: (0,) * nd,
                               memory_space=pltpu.VMEM) for m in mats]
 

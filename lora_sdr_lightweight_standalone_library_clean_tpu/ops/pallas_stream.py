@@ -1,0 +1,214 @@
+"""Fused Pallas streaming-scan kernel: slab -> all stride windows -> detect.
+
+The streaming front-end (parallel/streaming.py) dechirp-detects EVERY
+``stride``-aligned window of a continuous IQ stream — the deployment-shaped
+RX workload (reference hot loop: ``src/phy/LoRaDemod.cpp:142-165`` run per
+candidate window).  The jnp scan materializes all windows in HBM: at the
+default stride = step/4 each sample is written 4x as window payload and
+re-read by the detection DFT.  This kernel deletes that traffic entirely:
+
+ * each grid step DMAs a slab of R symbol-rows (R*n samples) plus an 8-row
+   halo HBM->VMEM once, through the automatic block pipeline;
+ * the ``phases`` = step/stride overlapping window sets are generated *in
+   VMEM* from the resident slab — one static lane roll + one select per
+   phase (overlapping windows share the slab, zero extra HBM traffic);
+ * windows are dechirped against the resident down-chirp and stacked into
+   one (R*phases, n) matrix so the DFT matmul hits the MXU with full tiles
+   even at SF7 (dense <= 512-point; two-stage factorization >= 1024,
+   shared with ops/pallas_rx.py);
+ * the |bin|^2 -> (first-max argmax, power dB, noise dB) reduction runs in
+   VMEM; HBM sees only three (windows,) vectors out.
+
+Oversampling (osr > 1) rides the same kernel: the detector's decimation
+(take every osr-th sample, ``src/phy/phy.cpp:218-229``) commutes with
+stride-aligned windowing whenever osr divides the stride, so the caller
+decimates the stream to the phase-0 grid once (an XLA strided slice) and
+the kernel runs pure osr == 1 semantics on it.
+
+Arithmetic intensity: each sample feeds ``phases`` windows at 8*n (dense)
+or 8*(n1+n2) (factored) MXU flops per window-sample — thousands of flops
+per HBM byte, so the kernel is compute-bound and the stream is read once.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_rx import _dft_mag_argmax, _dft_const_arrays, _round_up
+
+__all__ = ["stream_window_detect", "stream_supported", "PALLAS_STREAM_MAX_N"]
+
+PALLAS_STREAM_MAX_N = 4096
+
+# target dechirped-window rows per grid step: keeps the DFT matmul operand
+# around 512 KB of VMEM regardless of n while filling MXU tiles at SF7
+_TARGET_ELEMS = 131072
+
+
+def stream_supported(n: int, osr: int, step: int, stride: int,
+                     platform: str | None = None) -> bool:
+    """True when the fused streaming kernel covers this configuration."""
+    if platform is None:
+        platform = jax.default_backend()
+    if platform in ("cpu",):
+        return False
+    if n > PALLAS_STREAM_MAX_N:
+        return False
+    # decimation must commute with the window grid (see module docstring)
+    return stride % osr == 0 and step % stride == 0
+
+
+def _rows_per_step(n: int, phases: int) -> int:
+    r = max(8, (_TARGET_ELEMS // n) // phases)
+    return _round_up(r, 8)
+
+
+def _stream_kernel(sr_ref, si_ref, hr_ref, hi_ref, dcr_ref, dci_ref, *rest,
+                   n: int, stride_d: int, phases: int, r_rows: int,
+                   factored: bool):
+    """One grid step: R slab rows + halo -> R*phases window detections."""
+    n_mats = len(rest) - 7
+    mat_refs = rest[:n_mats]
+    idx_ref, pow_ref, pav_ref, ar_scr, ai_scr, extr, exti = rest[n_mats:]
+
+    # resident extended slab: window rows + the halo rows they spill into
+    extr[0:r_rows] = sr_ref[...]
+    extr[r_rows:r_rows + 8] = hr_ref[...]
+    exti[0:r_rows] = si_ref[...]
+    exti[r_rows:r_rows + 8] = hi_ref[...]
+    er = extr[...]
+    ei = exti[...]
+    dcr = dcr_ref[0][None, :]
+    dci = dci_ref[0][None, :]
+    lane = lax.broadcasted_iota(jnp.int32, (r_rows, n), 1)
+
+    for j in range(phases):
+        # phase-j windows start at row*n + j*stride_d: a static lane roll
+        # re-aligns the slab, a lane select splices row r with row r+1
+        o = j * stride_d
+        if o == 0:
+            wr = er[0:r_rows]
+            wi = ei[0:r_rows]
+        else:
+            rr = pltpu.roll(er, n - o, axis=1)
+            ri = pltpu.roll(ei, n - o, axis=1)
+            sel = lane < (n - o)
+            wr = jnp.where(sel, rr[0:r_rows], rr[1:r_rows + 1])
+            wi = jnp.where(sel, ri[0:r_rows], ri[1:r_rows + 1])
+        ar_scr[j * r_rows:(j + 1) * r_rows, :] = wr * dcr - wi * dci
+        ai_scr[j * r_rows:(j + 1) * r_rows, :] = wr * dci + wi * dcr
+
+    rows = r_rows * phases
+    mats = [m[...] for m in mat_refs]
+    idx, max_val, total = _dft_mag_argmax(ar_scr[...], ai_scr[...], mats,
+                                          n, rows, factored)
+    scale_db = np.float32(20.0 * np.log10(n))
+    fund = jnp.sqrt(max_val)
+    noise = jnp.sqrt(jnp.maximum(total - max_val, 0.0))
+    idx_ref[0] = idx                                  # (rows, 1) columns
+    pow_ref[0] = 20.0 * jnp.log10(fund) - scale_db
+    pav_ref[0] = 20.0 * jnp.log10(noise) - scale_db
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "stride_d", "phases", "windows", "interpret"))
+def _stream_call(ext_r, ext_i, dcr, dci, *, n: int, stride_d: int,
+                 phases: int, windows: int, interpret: bool):
+    def cdiv(a, b):
+        return -(-a // b)
+
+    r_rows = _rows_per_step(n, phases)
+    rows_w = r_rows * phases
+    grid = cdiv(cdiv(windows, phases), r_rows)
+    need = (grid * r_rows + 8) * n
+    if ext_r.shape[-1] < need:
+        pad = (0, need - ext_r.shape[-1])
+        ext_r = jnp.pad(ext_r, pad)
+        ext_i = jnp.pad(ext_i, pad)
+    else:
+        ext_r = ext_r[:need]
+        ext_i = ext_i[:need]
+    er = ext_r.reshape(grid * r_rows + 8, n)
+    ei = ext_i.reshape(grid * r_rows + 8, n)
+
+    factored = n > 512
+    mats = _dft_const_arrays(n, factored)
+    mat_specs = [pl.BlockSpec(m.shape, lambda i, nd=m.ndim: (0,) * nd,
+                              memory_space=pltpu.VMEM) for m in mats]
+    slab_spec = pl.BlockSpec((r_rows, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((8, n), lambda i: ((i + 1) * (r_rows // 8), 0),
+                             memory_space=pltpu.VMEM)
+    dc_spec = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, rows_w, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_dims = (grid, rows_w, 1)
+
+    kernel = functools.partial(
+        _stream_kernel, n=n, stride_d=stride_d, phases=phases,
+        r_rows=r_rows, factored=factored)
+    idx, pw, pav = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[slab_spec, slab_spec, halo_spec, halo_spec,
+                  dc_spec, dc_spec] + mat_specs,
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(out_dims, jnp.int32),
+            jax.ShapeDtypeStruct(out_dims, jnp.float32),
+            jax.ShapeDtypeStruct(out_dims, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows_w, n), jnp.float32),
+            pltpu.VMEM((rows_w, n), jnp.float32),
+            pltpu.VMEM((r_rows + 8, n), jnp.float32),
+            pltpu.VMEM((r_rows + 8, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(er, ei, er, ei, dcr.reshape(1, n), dci.reshape(1, n), *mats)
+
+    # scratch row j*R + r <-> window (g*R + r)*phases + j: un-interleave
+    def reorder(x):
+        x = x.reshape(grid, phases, r_rows)
+        return jnp.transpose(x, (0, 2, 1)).reshape(grid * rows_w)
+
+    return (reorder(idx)[:windows], reorder(pw)[:windows],
+            reorder(pav)[:windows])
+
+
+def stream_window_detect(ext_r, ext_i, params, stride: int, windows: int,
+                         dcr=None, dci=None, *, interpret: bool = False):
+    """Dechirp-detect ``windows`` stride-aligned windows of a stream.
+
+    Args:
+      ext_r/ext_i: float32 (T,) stream INCLUDING the halo — must cover at
+        least ``(windows - 1) * stride + params.step`` samples (shorter
+        inputs are zero-padded, longer are ignored).
+      stride: window spacing in (oversampled) samples; ``osr | stride`` and
+        ``stride | step``.
+      windows: number of windows to emit (static).
+      dcr/dci: optional (n,) down-chirp override (defaults to the reference
+        demod down-chirp, phy.cpp:206-208).
+
+    Returns:
+      (index, power_db, noise_db) each (windows,) int32/float32, matching
+      parallel/streaming.py::_scan_block bit-for-bit in window order.
+    """
+    n, osr = params.n, params.osr
+    assert ext_r.ndim == 1, "stream kernel is 1D; batch via vmap/fallback"
+    if dcr is None:
+        from .chirp import downchirp_ri
+        dcr, dci = downchirp_ri(params.sf, params.bw_scale)
+    if osr > 1:
+        ext_r = ext_r[::osr]                          # phase-0 decimation
+        ext_i = ext_i[::osr]
+    return _stream_call(ext_r, ext_i, jnp.asarray(dcr), jnp.asarray(dci),
+                        n=n, stride_d=stride // osr, phases=n // (stride // osr),
+                        windows=windows, interpret=interpret)

@@ -69,6 +69,9 @@ class RecoveredPackets(NamedTuple):
     sync_word: jnp.ndarray  # (K,) uint8
     cfo: jnp.ndarray        # (K,) float32
     time_offset: jnp.ndarray  # (K,) float32
+    n_candidates: jnp.ndarray  # () int32 sync starts owned by this chunk
+    n_dropped: jnp.ndarray     # () int32 owned starts beyond max_packets
+                               # (a saturated chunk is observable)
 
 
 def packet_samples(params: LoraParams, payload_symbols: int) -> int:
@@ -172,6 +175,7 @@ def receive_stream(iq_r, iq_i, params: LoraParams, *,
     payload, crc_ok = decode(res.symbols)
 
     zero_payload = jnp.zeros_like(payload)
+    n_candidates = jnp.sum(owned.astype(jnp.int32))
     packets = RecoveredPackets(
         payload=jnp.where(valid[:, None], payload, zero_payload),
         crc_ok=crc_ok & valid,
@@ -180,6 +184,8 @@ def receive_stream(iq_r, iq_i, params: LoraParams, *,
         sync_word=jnp.where(valid, res.sync_word, 0).astype(jnp.uint8),
         cfo=jnp.where(valid, res.cfo, 0.0),
         time_offset=jnp.where(valid, res.time_offset, 0.0),
+        n_candidates=n_candidates,
+        n_dropped=jnp.maximum(n_candidates - max_packets, 0),
     )
 
     # --- carried state ---------------------------------------------------

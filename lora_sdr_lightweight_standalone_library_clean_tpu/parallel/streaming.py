@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.chirp import downchirp_ri
 from ..ops.detect import detect_ri
@@ -70,13 +70,32 @@ def _stride_windows(ext, total: int, step: int, stride: int, n: int,
     return all_w[..., :windows, :]
 
 
-def _scan_block(iq_r, iq_i, halo_r, halo_i, params: LoraParams, stride: int):
+def _use_stream_kernel(iq_r, params: LoraParams, stride: int,
+                       backend: str) -> bool:
+    """Fused streaming kernel gate (ops/pallas_stream.py): 1D streams on
+    TPU with osr | stride | step; 'pallas' forces it, 'jnp' forbids it."""
+    if backend == "pallas":
+        return True
+    if backend != "auto" or iq_r.ndim != 1:
+        return False
+    from ..ops.pallas_stream import stream_supported
+    return stream_supported(params.n, params.osr, params.step, stride)
+
+
+def _scan_block(iq_r, iq_i, halo_r, halo_i, params: LoraParams, stride: int,
+                backend: str = "auto"):
     """Detect every stride-aligned window starting in [block]; windows whose
     tail crosses the block edge read from the halo."""
     n, osr, step = params.n, params.osr, params.step
     ext_r = jnp.concatenate([iq_r, halo_r], axis=-1)
     ext_i = jnp.concatenate([iq_i, halo_i], axis=-1)
     total = iq_r.shape[-1]
+    if _use_stream_kernel(iq_r, params, stride, backend):
+        # one fused kernel: slab-resident windows + dechirp + DFT + detect;
+        # the stream is read from HBM exactly once (ops/pallas_stream.py)
+        from ..ops.pallas_stream import stream_window_detect
+        return stream_window_detect(ext_r, ext_i, params, stride,
+                                    total // stride)
     zr = _stride_windows(ext_r, total, step, stride, n, osr)
     zi = _stride_windows(ext_i, total, step, stride, n, osr)
     dcr, dci = downchirp_ri(params.sf, params.bw_scale)
@@ -89,7 +108,8 @@ def _scan_block(iq_r, iq_i, halo_r, halo_i, params: LoraParams, stride: int):
 
 
 def stream_scan(iq_r, iq_i, params: LoraParams, mesh: Mesh | None = None,
-                axis: str = "sp", stride: int | None = None) -> StreamScan:
+                axis: str = "sp", stride: int | None = None,
+                backend: str = "auto") -> StreamScan:
     """Dechirp-detect every ``stride``-aligned window of a continuous stream.
 
     ``stride`` defaults to a full symbol; a sub-symbol stride (e.g. step//2)
@@ -111,7 +131,8 @@ def stream_scan(iq_r, iq_i, params: LoraParams, mesh: Mesh | None = None,
 
     if mesh is None:
         halo_r = jnp.zeros(iq_r.shape[:-1] + (step,), jnp.float32)
-        idx, p, pav = _scan_block(iq_r, iq_i, halo_r, halo_r, params, stride)
+        idx, p, pav = _scan_block(iq_r, iq_i, halo_r, halo_r, params, stride,
+                                  backend)
         return StreamScan(idx, p, pav)
 
     n_shards = mesh.shape[axis]
@@ -131,7 +152,8 @@ def stream_scan(iq_r, iq_i, params: LoraParams, mesh: Mesh | None = None,
         is_last = (my == n_shards - 1)
         halo_r = jnp.where(is_last, jnp.zeros_like(halo_r), halo_r)
         halo_i = jnp.where(is_last, jnp.zeros_like(halo_i), halo_i)
-        idx, p, pav = _scan_block(br, bi, halo_r, halo_i, params, stride)
+        idx, p, pav = _scan_block(br, bi, halo_r, halo_i, params, stride,
+                                  backend)
         return idx, p, pav
 
     spec_in = P(*([None] * (iq_r.ndim - 1) + [axis]))

@@ -177,7 +177,10 @@ def read_b64_iq(path) -> np.ndarray:
     # mid-sample, SURVEY §4.4.3): drop any partial trailing I/Q pair
     raw = raw[: len(raw) - (len(raw) % 8)]
     f = np.frombuffer(raw, np.float32)
-    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+    # truncated fixtures can also carry non-finite garbage in the cut
+    # region; assemble under errstate so reading them never warns
+    with np.errstate(invalid="ignore", over="ignore"):
+        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
 
 
 def write_b64_iq(path, iq) -> None:

@@ -50,6 +50,32 @@ def test_e2e_chain(profile):
         np.testing.assert_array_equal(np.asarray(res.symbols)[0], exp)
 
 
+def test_modulate_mxu_matches_vpu():
+    """The MXU tone-matmul synthesis (the osr==1 default) must agree with
+    the closed-form VPU phases — both are float32 roundings of the same
+    exact integer phase.  Tolerance covers CPU bf16-fastmath matmul drift
+    (see tests/test_pallas.py docstring); in true f32 the paths agree to
+    ~1e-6."""
+    from lora_sdr_lightweight_standalone_library_clean_tpu.ops.chirp import (
+        modulate_ri)
+    rng = np.random.default_rng(11)
+    for sf, bs in [(7, 1), (8, 1), (9, 2), (11, 4), (12, 4)]:
+        p = L.LoraParams(sf=sf, bw=bs * 125000)
+        syms = rng.integers(0, 2 * p.n, (2, 5)).astype(np.int32)
+        rv, iv = modulate_ri(syms, p, method="vpu")
+        rm, im = modulate_ri(syms, p, method="mxu")
+        np.testing.assert_allclose(np.asarray(rm), np.asarray(rv),
+                                   atol=0.02, err_msg=f"sf={sf} bs={bs}")
+        np.testing.assert_allclose(np.asarray(im), np.asarray(iv),
+                                   atol=0.02, err_msg=f"sf={sf} bs={bs}")
+        # and the carried packet phase stays exact: symbol boundaries of
+        # the two paths agree in sign (bs odd alternates, bs even is +1)
+        re2, _ = modulate_ri(np.zeros((1, 0), np.int32), p, amplitude=0.25,
+                             method="mxu")
+        assert re2.shape == (1, 2 * p.step)
+        assert float(jnp.max(jnp.abs(re2))) <= 0.25 + 1e-6
+
+
 def test_modulate_matches_sequential_oracle():
     """Vectorized closed-form phases vs the float32 sequential C emulation."""
     rng = np.random.default_rng(4)

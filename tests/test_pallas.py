@@ -1,6 +1,15 @@
 """Fused Pallas detect kernel: equivalence with the jnp path (interpret
 mode on CPU; the real kernel is exercised on TPU by bench.py and
-scripts/tpu_validate.py)."""
+scripts/tpu_validate.py).
+
+Tolerance note: XLA CPU float32 matmuls are not run-to-run stable — the
+reduction split depends on thread-pool state, and on AMX-class hosts
+onednn can drop to bf16 fastmath (observed: ~2e-3 absolute drift on unit
+IQ, dB deltas up to ~0.03).  Power comparisons therefore use atol=0.05 dB
+(numerically meaningless at detection level), and argmax equality on
+*noise* inputs allows flips only between bins whose |bin|^2 agree to 1e-2
+relative — ties under bf16 reordering.  Signal-bearing inputs still
+require exact index equality."""
 import numpy as np
 import pytest
 
@@ -13,6 +22,20 @@ import lora_sdr_lightweight_standalone_library_clean_tpu as L
 from lora_sdr_lightweight_standalone_library_clean_tpu.ops.detect import detect_ri
 from lora_sdr_lightweight_standalone_library_clean_tpu.ops.pallas_detect import (
     fused_rotate_detect)
+
+
+def _assert_idx_tie_robust(got_idx, want, mag2):
+    """Indexes must match except where the two picks are float-order ties."""
+    gi = np.asarray(got_idx)
+    wi = np.asarray(want.index)
+    flat_g = gi.reshape(-1)
+    flat_w = wi.reshape(-1)
+    m2 = np.asarray(mag2).reshape(-1, np.asarray(mag2).shape[-1])
+    for k in np.nonzero(flat_g != flat_w)[0]:
+        a, b = m2[k, flat_g[k]], m2[k, flat_w[k]]
+        assert abs(a - b) <= 1e-2 * max(a, b), (
+            f"argmax mismatch beyond tie tolerance at row {k}: "
+            f"{flat_g[k]} ({a}) vs {flat_w[k]} ({b})")
 
 
 @pytest.mark.parametrize("sf", [7, 8, 9])
@@ -35,11 +58,13 @@ def test_fused_kernel_matches_jnp(sf):
     fi = zr * si + zi * c
     det = detect_ri(jnp.asarray(fr), jnp.asarray(fi))
 
-    np.testing.assert_array_equal(np.asarray(idx), np.asarray(det.index))
+    from lora_sdr_lightweight_standalone_library_clean_tpu.ops.dft import dft_ri
+    xr, xi = dft_ri(jnp.asarray(fr), jnp.asarray(fi))
+    _assert_idx_tie_robust(idx, det, xr * xr + xi * xi)
     np.testing.assert_allclose(np.asarray(power), np.asarray(det.power),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=0.05)
     np.testing.assert_allclose(np.asarray(pav), np.asarray(det.power_avg),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=0.05)
 
 
 def test_fused_kernel_clean_tones():
@@ -101,9 +126,9 @@ def test_rx_kernel_matches_jnp_path(sf):
         interpret=True)
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(want.index))
     np.testing.assert_allclose(np.asarray(gp), np.asarray(want.power),
-                               rtol=1e-3, atol=1e-3)
+                               rtol=1e-3, atol=0.05)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(want.power_avg),
-                               rtol=1e-3, atol=1e-3)
+                               rtol=1e-3, atol=0.05)
 
 
 def test_demod_backend_rx_kernel_equals_jnp():
