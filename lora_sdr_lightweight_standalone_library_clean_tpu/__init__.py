@@ -25,11 +25,16 @@ from .models.modem import (
 )
 from .models.tones import demodulate_tones
 from .models import lorawan, sweep
+from .models.frame import (
+    encode_frame, decode_frame, decode_frame_padded, decode_header,
+    frame_symbols, max_frame_symbols, FrameHeader, FrameResult,
+)
 from .ops import channel
 from .parallel import mesh, streaming
 from .parallel.receiver import (
-    receive_stream, stream_rx_init, packet_samples, StreamRxState,
-    RecoveredPackets,
+    receive_stream, receive_stream_frames, stream_rx_init,
+    stream_frames_init, packet_samples, StreamRxState,
+    RecoveredPackets, RecoveredFrames,
 )
 
 __version__ = "0.1.0"

@@ -308,15 +308,23 @@ def whiten_sx1272_lfsr(data, bit_ofs: int = 0, rdd: int = 4) -> np.ndarray:
 # Gray mapping  --  LoRaCodes.hpp:201-222
 # ---------------------------------------------------------------------------
 
+def _as_u16(num):
+    """uint16 coercion that passes jax arrays/tracers through untouched
+    (this module stays jax-free; device callers hand in device arrays)."""
+    if hasattr(num, "dtype") and not isinstance(num, np.ndarray):
+        return num.astype(np.uint16)
+    return np.asarray(num, dtype=np.uint16)
+
+
 def binary_to_gray16(num):
     """Reflected binary Gray code, LSB-first (LoRaCodes.hpp:201-207)."""
-    num = np.asarray(num, dtype=np.uint16)
+    num = _as_u16(num)
     return num ^ (num >> np.uint16(1))
 
 
 def gray_to_binary16(num):
     """Inverse Gray mapping for <=16-bit words (LoRaCodes.hpp:212-222)."""
-    num = np.asarray(num, dtype=np.uint16)
+    num = _as_u16(num)
     num = num ^ (num >> np.uint16(8))
     num = num ^ (num >> np.uint16(4))
     num = num ^ (num >> np.uint16(2))

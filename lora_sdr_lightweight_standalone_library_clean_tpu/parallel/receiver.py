@@ -43,11 +43,13 @@ from jax.sharding import Mesh
 
 from ..models.modem import decode, dechirp
 from ..models.tones import demodulate_tones
+from ..models import frame as frame_codec
 from ..utils.config import LoraParams
 from .streaming import stream_scan, find_packet_starts
 
-__all__ = ["StreamRxState", "RecoveredPackets", "stream_rx_init",
-           "receive_stream", "packet_samples"]
+__all__ = ["StreamRxState", "RecoveredPackets", "RecoveredFrames",
+           "stream_rx_init", "stream_frames_init",
+           "receive_stream", "receive_stream_frames", "packet_samples"]
 
 
 class StreamRxState(NamedTuple):
@@ -87,6 +89,63 @@ def stream_rx_init(params: LoraParams, payload_symbols: int) -> StreamRxState:
         tail_i=jnp.zeros(plen, jnp.float32),
         offset=jnp.zeros((), jnp.int32),
     )
+
+
+class RecoveredFrames(NamedTuple):
+    """Up to ``max_packets`` variable-length frames from one chunk."""
+
+    payload: jnp.ndarray    # (K, max_payload_len) uint8, zero past length
+    length: jnp.ndarray     # (K,) int32 payload bytes from each header
+    hdr_ok: jnp.ndarray     # (K,) bool explicit-header checksum verdict
+    crc_ok: jnp.ndarray     # (K,) bool payload CRC verdict
+    valid: jnp.ndarray      # (K,) bool — entry k holds a real detection
+    start: jnp.ndarray      # (K,) int32 global sample index of sync start
+    sync_word: jnp.ndarray  # (K,) uint8
+    cfo: jnp.ndarray        # (K,) float32
+    time_offset: jnp.ndarray   # (K,) float32
+    n_err: jnp.ndarray      # (K,) int32 FEC-corrected codewords
+    n_candidates: jnp.ndarray  # () int32 sync starts owned by this chunk
+    n_dropped: jnp.ndarray     # () int32 owned starts beyond max_packets
+
+
+def stream_frames_init(params: LoraParams, max_payload_len: int,
+                       crc: bool = True) -> StreamRxState:
+    """Fresh state for ``receive_stream_frames`` (max-frame-sized tail)."""
+    s_max = frame_codec.max_frame_symbols(params, max_payload_len, crc)
+    return stream_rx_init(params, s_max)
+
+
+def _owned_starts(ext_r, ext_i, chunk_len: int, plen: int,
+                  params: LoraParams, mesh, axis: str, stride: int,
+                  power_gate_db: float, max_packets: int):
+    """Scan [tail | chunk] and pick this chunk's owned packet starts.
+
+    Ownership: corrected starts g with 0 < g <= chunk_len (ext coordinates
+    shifted by plen) — the packet's last sample arrived in this chunk and
+    not before.  g is a pure function of the physical window, so whichever
+    chunk sees the window computes the same owner.  Returns the earliest
+    ``max_packets`` starts ascending (clamped for extraction), their
+    validity mask, and the owned-candidate count.
+    """
+    ext_len = plen + chunk_len
+    if mesh is not None:
+        n_shards = mesh.shape[axis]
+        pad = (-ext_len) % (stride * n_shards)
+    else:
+        pad = 0
+    sr = jnp.pad(ext_r, (0, pad)) if pad else ext_r
+    si = jnp.pad(ext_i, (0, pad)) if pad else ext_i
+    scan = stream_scan(sr, si, params, mesh=mesh, axis=axis, stride=stride)
+    mask, start = find_packet_starts(scan, params, stride=stride,
+                                     power_gate_db=power_gate_db)
+    owned = mask & (start > 0) & (start <= chunk_len)
+    sentinel = jnp.int32(ext_len + 1)
+    cand = jnp.where(owned, start, sentinel)
+    neg_topk, _ = lax.top_k(-cand, max_packets)
+    starts = -neg_topk
+    valid = starts < sentinel
+    starts_c = jnp.clip(jnp.where(valid, starts, 0), 0, ext_len - plen)
+    return starts_c, valid, jnp.sum(owned.astype(jnp.int32))
 
 
 def receive_stream(iq_r, iq_i, params: LoraParams, *,
@@ -135,32 +194,9 @@ def receive_stream(iq_r, iq_i, params: LoraParams, *,
     ext_i = jnp.concatenate([state.tail_i, iq_i], axis=-1)
     ext_len = plen + chunk_len
 
-    # --- sync scan over every stride-aligned window of ext ---------------
-    if mesh is not None:
-        n_shards = mesh.shape[axis]
-        pad = (-ext_len) % (stride * n_shards)
-    else:
-        pad = 0
-    sr = jnp.pad(ext_r, (0, pad)) if pad else ext_r
-    si = jnp.pad(ext_i, (0, pad)) if pad else ext_i
-    scan = stream_scan(sr, si, params, mesh=mesh, axis=axis, stride=stride)
-    mask, start = find_packet_starts(scan, params, stride=stride,
-                                     power_gate_db=power_gate_db)
-
-    # --- deterministic ownership --------------------------------------
-    # this chunk owns corrected starts g with 0 < g <= chunk_len: the
-    # packet's last sample arrived in this chunk and not before.  g is a
-    # pure function of the physical window, so whichever chunk sees the
-    # window computes the same owner.
-    owned = mask & (start > 0) & (start <= chunk_len)
-
-    # earliest max_packets starts, ascending; absent slots -> sentinel
-    sentinel = jnp.int32(ext_len + 1)
-    cand = jnp.where(owned, start, sentinel)
-    neg_topk, _ = lax.top_k(-cand, max_packets)
-    starts = -neg_topk                              # ascending, corrected
-    valid = starts < sentinel
-    starts_c = jnp.clip(jnp.where(valid, starts, 0), 0, ext_len - plen)
+    starts_c, valid, n_candidates = _owned_starts(
+        ext_r, ext_i, chunk_len, plen, params, mesh, axis, stride,
+        power_gate_db, max_packets)
 
     # --- per-packet demod + decode (the decodable tones path: external
     # dechirp + lora_demodulate semantics, LoRaDemod.cpp:50-197) ---------
@@ -175,7 +211,6 @@ def receive_stream(iq_r, iq_i, params: LoraParams, *,
     payload, crc_ok = decode(res.symbols)
 
     zero_payload = jnp.zeros_like(payload)
-    n_candidates = jnp.sum(owned.astype(jnp.int32))
     packets = RecoveredPackets(
         payload=jnp.where(valid[:, None], payload, zero_payload),
         crc_ok=crc_ok & valid,
@@ -195,3 +230,83 @@ def receive_stream(iq_r, iq_i, params: LoraParams, *,
         offset=state.offset + chunk_len,
     )
     return packets, new_state
+
+
+def receive_stream_frames(iq_r, iq_i, params: LoraParams, *,
+                          max_payload_len: int, max_packets: int,
+                          crc: bool = True,
+                          state: StreamRxState | None = None,
+                          mesh: Mesh | None = None, axis: str = "sp",
+                          stride: int | None = None,
+                          power_gate_db: float = 5.0,
+                          ) -> tuple[RecoveredFrames, StreamRxState]:
+    """Header-driven variable-length streaming RX.
+
+    ``receive_stream`` needs the caller to fix ``payload_symbols`` — fine
+    against the reference (whose demod also takes caller-sized buffers,
+    phy.cpp:182-192) but unable to receive a real mixed-length stream.
+    This entry point decodes the explicit header of every detected packet
+    (models/frame.py) and recovers its advertised length, up to the static
+    bound ``max_payload_len``; one compiled program serves every length.
+
+    Ownership treats every packet as maximum-length: a start is owned by
+    the chunk in which its *maximal* frame window completes, so a frame's
+    recovery may land one chunk later than its last symbol, but no frame is
+    lost or duplicated regardless of chunking.  Oversize frames (header
+    advertising > max_payload_len) surface with ``hdr_ok == False``.
+
+    Returns (RecoveredFrames, new state) — state from
+    ``stream_frames_init`` (or None at stream start).
+    """
+    step = params.step
+    if stride is None:
+        stride = max(step // 4, 1)
+    chunk_len = iq_r.shape[-1]
+    if chunk_len % stride:
+        raise ValueError(f"chunk length {chunk_len} not a multiple of "
+                         f"stride {stride}")
+    s_max = frame_codec.max_frame_symbols(params, max_payload_len, crc)
+    plen = packet_samples(params, s_max)
+    if plen % stride:
+        raise ValueError(f"max frame length {plen} not a multiple of "
+                         f"stride {stride}")
+    if state is None:
+        state = stream_frames_init(params, max_payload_len, crc)
+
+    ext_r = jnp.concatenate([state.tail_r, iq_r], axis=-1)
+    ext_i = jnp.concatenate([state.tail_i, iq_i], axis=-1)
+
+    starts_c, valid, n_candidates = _owned_starts(
+        ext_r, ext_i, chunk_len, plen, params, mesh, axis, stride,
+        power_gate_db, max_packets)
+
+    def extract(p):
+        return (lax.dynamic_slice_in_dim(ext_r, p, plen, axis=-1),
+                lax.dynamic_slice_in_dim(ext_i, p, plen, axis=-1))
+
+    pkt_r, pkt_i = jax.vmap(extract)(starts_c)      # (K, plen)
+    dr, di = dechirp(pkt_r, pkt_i, params)
+    res = demodulate_tones(dr, di, params)          # symbols: (K, s_max)
+    dec = frame_codec.decode_frame_padded(res.symbols, params,
+                                          max_payload_len, crc)
+
+    frames = RecoveredFrames(
+        payload=jnp.where(valid[:, None], dec.payload, 0).astype(jnp.uint8),
+        length=jnp.where(valid, dec.length, 0),
+        hdr_ok=dec.hdr_ok & valid,
+        crc_ok=dec.crc_ok & valid,
+        valid=valid,
+        start=(starts_c + state.offset - plen),
+        sync_word=jnp.where(valid, res.sync_word, 0).astype(jnp.uint8),
+        cfo=jnp.where(valid, res.cfo, 0.0),
+        time_offset=jnp.where(valid, res.time_offset, 0.0),
+        n_err=jnp.where(valid, dec.n_err, 0),
+        n_candidates=n_candidates,
+        n_dropped=jnp.maximum(n_candidates - max_packets, 0),
+    )
+    new_state = StreamRxState(
+        tail_r=ext_r[..., chunk_len:],
+        tail_i=ext_i[..., chunk_len:],
+        offset=state.offset + chunk_len,
+    )
+    return frames, new_state

@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--path", choices=["tones", "full", "wide"],
                 default="tones",
                 help="wide: injective osr>=bw_scale receiver for BW-250/500\n(demodulate_wide), beyond the reference")
+    ap.add_argument("--framed", action="store_true",
+                    help="decode the SX1272 explicit-header frame "
+                         "(whitening + CR FEC + interleaving + Gray + CRC)")
     ap.add_argument("--report-offsets", action="store_true")
     return ap
 
@@ -57,8 +60,17 @@ def main(argv=None) -> int:
     else:
         dr, di = dechirp(rr, ri, params)
         res = demodulate_tones(dr, di, params)
-    nsym = res.symbols.shape[-1] - (res.symbols.shape[-1] % 2)
-    payload, crc_ok = decode(res.symbols[..., :nsym])
+    if args.framed:
+        from ..models.frame import decode_frame
+        out = decode_frame(np.asarray(res.symbols)[0], params)
+        if not bool(np.asarray(out.hdr_ok)):
+            print("rx: header checksum failed", file=sys.stderr)
+            return 2
+        payload = np.asarray(out.payload)[None]
+        crc_ok = np.asarray(out.crc_ok)[None]
+    else:
+        nsym = res.symbols.shape[-1] - (res.symbols.shape[-1] % 2)
+        payload, crc_ok = decode(res.symbols[..., :nsym])
     print(bytes(np.asarray(payload)[0]).hex().upper())
     if args.report_offsets:
         print(f"cfo={float(res.cfo[0]):.6g} "

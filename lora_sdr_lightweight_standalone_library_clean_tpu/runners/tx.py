@@ -11,7 +11,7 @@ import sys
 
 import numpy as np
 
-from .. import LoraParams, encode, modulate, to_complex
+from .. import LoraParams, encode, encode_frame, modulate, to_complex
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -23,6 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--osr", type=int, default=1)
     ap.add_argument("--sync", type=lambda v: int(v, 0), default=0x12)
     ap.add_argument("--amplitude", type=float, default=1.0)
+    ap.add_argument("--framed", action="store_true",
+                    help="full SX1272 frame: explicit header + whitening + "
+                         "CR FEC + interleaving + Gray + CRC (models/frame)")
+    ap.add_argument("--no-crc", action="store_true",
+                    help="omit the payload CRC (framed mode only)")
     ap.add_argument("--out", default="-", help="output file ('-' = stdout)")
     return ap
 
@@ -32,7 +37,10 @@ def main(argv=None) -> int:
     payload = np.frombuffer(bytes.fromhex(args.payload), np.uint8)
     params = LoraParams(sf=args.sf, bw=args.bw, cr=args.cr, osr=args.osr,
                         sync_word=args.sync)
-    syms = encode(payload[None])
+    if args.framed:
+        syms = encode_frame(payload[None], params, crc=not args.no_crc)
+    else:
+        syms = encode(payload[None])
     re, im = modulate(syms, params, amplitude=args.amplitude)
     iq = to_complex(re, im)[0]
     inter = np.empty(iq.size * 2, np.float32)
