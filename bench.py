@@ -154,6 +154,116 @@ def bench_profile(profile: dict, batch: int):
     return pps, full_pps, dt
 
 
+def make_wide_loop(params: L.LoraParams):
+    """Device loop through the injective wide receiver (modulate + dechirp
+    + demodulate_wide) — the BW-250/500 capability the reference lacks."""
+
+    @jax.jit
+    def loop(symbols, iters):
+        def body(_, syms):
+            re, im = L.modulate(syms, params)
+            dr, di = L.dechirp(re, im, params)
+            res = L.demodulate_wide(dr, di, params)
+            return res.symbols.astype(syms.dtype)
+        out = lax.fori_loop(0, iters, body, symbols)
+        return jnp.sum(out.astype(jnp.int32))
+
+    return loop
+
+
+WIDE_PROFILES = (
+    {"name": "sf9_bw250_osr2_wide", "sf": 9, "bw": 250000, "cr": "4/8",
+     "osr": 2, "base": "sf9_bw250_cr48"},
+    {"name": "sf12_bw500_osr4_wide", "sf": 12, "bw": 500000, "cr": "4/5",
+     "osr": 4, "base": "sf12_bw500_cr45"},
+)
+
+
+def bench_wide(profile: dict, batch: int):
+    """pps + ns/sym of a wide profile (osr = bw_scale full-rate RX)."""
+    params = L.params_from_profile(profile, osr=profile["osr"])
+    rng = np.random.default_rng(3)
+    symbols = jnp.asarray(
+        rng.integers(0, params.n, (batch, PAYLOAD_SIZE * 2)).astype(np.uint16))
+    dt = slope_time(make_wide_loop(params), (symbols,))
+    return batch / dt, dt
+
+
+def _stage_loops(params: L.LoraParams):
+    """Single-stage device loops for the per-stage time breakdown.  Each
+    body keeps a data dependency on the previous iteration so XLA cannot
+    hoist the stage out of the fori_loop."""
+    rng = np.random.default_rng(0)
+    payloads = rng.integers(0, 256, (1, PAYLOAD_SIZE)).astype(np.uint8)
+    syms0 = np.asarray(L.encode(payloads))
+
+    def dep_int(x, val):
+        # fold a 0-valued scalar derived from ``val`` into integer state
+        return x + (jnp.sum(val[..., :1]) * 1e-30).astype(x.dtype)
+
+    @jax.jit
+    def mod_loop(syms, iters):
+        def body(_, s):
+            re, _ = L.modulate(s, params)
+            return dep_int(s, re)
+        return jnp.sum(lax.fori_loop(0, iters, body, syms))
+
+    @jax.jit
+    def dechirp_loop(re, im, iters):
+        def body(_, c):
+            dr, di = L.dechirp(re + c, im, params)
+            return jnp.sum(dr[..., :1]) * 1e-30 + jnp.sum(di[..., :1]) * 0
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    @jax.jit
+    def estimate_loop(re, im, iters):
+        step = params.step
+        def body(_, c):
+            est = L.estimate_offsets(re[..., :2 * step] + c,
+                                     im[..., :2 * step], params)
+            return jnp.sum(est.cfo) * 1e-30
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    @jax.jit
+    def rx_loop(dr, di, iters):
+        def body(_, c):
+            res = L.demodulate_tones(dr + c, di, params)
+            return jnp.sum(res.symbols).astype(jnp.float32) * 1e-30
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    @jax.jit
+    def decode_loop(syms, iters):
+        def body(_, s):
+            payload, _ = L.decode(s)
+            return dep_int(s, payload)
+        return jnp.sum(lax.fori_loop(0, iters, body, syms))
+
+    return syms0, mod_loop, dechirp_loop, estimate_loop, rx_loop, decode_loop
+
+
+def bench_stages(profile: dict, batch: int):
+    """Per-stage time breakdown of the packet pipeline (VERDICT r2 #2).
+
+    Stages: modulate / dechirp multiply / 2-symbol offset estimate /
+    demodulate_tones (estimate + fused RX) / codec decode.  Times are per
+    batch step; the sum approximates the combined loop (stages share HBM
+    residency in the fused pipeline, so the whole is usually faster)."""
+    params = L.params_from_profile(profile)
+    syms0, mod_loop, dechirp_loop, est_loop, rx_loop, dec_loop = \
+        _stage_loops(params)
+    symbols = jnp.asarray(np.tile(syms0, (batch, 1)))
+    re, im = L.modulate(symbols, params)
+    dr, di = L.dechirp(re, im, params)
+
+    out = {}
+    out["modulate"] = slope_time(mod_loop, (symbols,))
+    out["dechirp"] = slope_time(dechirp_loop, (re, im))
+    out["estimate"] = slope_time(est_loop, (dr, di))
+    out["demod_tones"] = slope_time(rx_loop, (dr, di))
+    out["decode"] = slope_time(dec_loop, (symbols,))
+    return out
+
+
 def bench_stream(params: L.LoraParams, n_packets: int = 64,
                  tile: int = 16, stride_div: int = 4,
                  backend: str = "auto") -> float:
@@ -246,6 +356,8 @@ def main():
                     help="capture an xprof trace of one sf7 step")
     ap.add_argument("--quick", action="store_true",
                     help="headline profile only")
+    ap.add_argument("--stages", action="store_true",
+                    help="per-stage time breakdown (sf7 + sf12) to stderr")
     ap.add_argument("--mesh", default=None, metavar="dp=N",
                     help="also run the multi-device scaling rail, e.g. "
                          "--mesh dp=8 (requires N devices; use "
@@ -285,6 +397,39 @@ def main():
               f"{sps / 1e6:,.0f} Msamp/s/chip | detect {tf:.1f} TF/s "
               f"(MFU {mfu * 100:.1f}%) | {ns_sym:,.0f} ns/sym | "
               f"kernel-parity {parity}", file=sys.stderr)
+
+    # wide-receiver rail: BW-250/500 at osr = bw_scale, fused full-rate
+    # kernel (the capability the reference cannot express; VERDICT r2 #3
+    # acceptance: within ~2x of the osr=1 ns/sym — they process osr x the
+    # samples)
+    if not args.quick:
+        for wp in WIDE_PROFILES:
+            try:
+                wbatch = max(batches[wp["sf"]] // (2 * wp["osr"]), 16)
+                wpps, wdt = bench_wide(wp, wbatch)
+                ns_sym = wdt / (wbatch * SYMS) * 1e9
+                base = results.get(wp["base"], {})
+                rel = (f" ({ns_sym / base['ns_sym']:.1f}x osr1 ns/sym)"
+                       if base else "")
+                print(f"{wp['name']}: {wpps:,.0f} pps | {ns_sym:,.0f} "
+                      f"ns/sym{rel}", file=sys.stderr)
+            except Exception as e:
+                print(f"{wp['name']}: FAILED {type(e).__name__}: {e}",
+                      file=sys.stderr)
+
+    if args.stages:
+        for prof in (profiles[0], profiles[-1]):
+            try:
+                st = bench_stages(prof, batches[prof["sf"]])
+                total = sum(st.values())
+                row = " | ".join(
+                    f"{k} {v * 1e3:.2f} ms ({v / total * 100:.0f}%)"
+                    for k, v in st.items())
+                print(f"stages {prof['name']} (batch "
+                      f"{batches[prof['sf']]}): {row}", file=sys.stderr)
+            except Exception as e:
+                print(f"stages {prof['name']}: FAILED "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
 
     # stream-scan rail (sf7, deployment stride = step/4)
     try:

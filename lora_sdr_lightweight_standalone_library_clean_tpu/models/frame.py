@@ -49,7 +49,6 @@ from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 from ..ops import codes
 from ..utils.config import LoraParams
@@ -194,23 +193,23 @@ def crc_sx1272_at(data, length):
     """SX1272 CRC-16 over the first ``length`` bytes of the last axis.
 
     ``length`` is a batched int32 array — the jit-friendly variant of
-    ``models.modem.crc_sx1272`` for header-driven frames.  The byte loop is
-    a masked ``lax.scan``; the two length-dependent LFSR mask bytes
-    (LoRaCodes.hpp:101-103) come from a precomputed sequence gather.
+    ``models.modem.crc_sx1272`` for header-driven frames.  GF(2)-linearity
+    replaces the byte loop with a masked per-position table gather + XOR
+    fold (byte i of an L-byte message contributes step^{L-1-i}(byte));
+    the two length-dependent LFSR mask bytes (LoRaCodes.hpp:101-103) come
+    from a precomputed sequence gather.
     """
+    from .modem import _crc_position_tables, _xor_reduce_last
     d = jnp.asarray(data, jnp.int32)
     length = jnp.asarray(length, jnp.int32)
-    table = jnp.asarray(codes.crc16_table().astype(np.int32))
     n = d.shape[-1]
-
-    def step(res, iv):
-        i, byte = iv
-        crc = ((res << 8) & 0xFFFF) ^ jnp.take(table, res >> 8, axis=0)
-        return jnp.where(i < length, crc ^ byte, res), None
-
-    res0 = jnp.zeros(d.shape[:-1], jnp.int32)
-    res, _ = lax.scan(step, res0,
-                      (jnp.arange(n), jnp.moveaxis(d, -1, 0)))
+    s = _crc_position_tables(max(n, 1))               # (n, 256)
+    flat = jnp.asarray(s.reshape(-1).astype(np.int32))
+    i = jnp.arange(n, dtype=jnp.int32)
+    k = jnp.clip(length[..., None] - 1 - i, 0, max(n - 1, 0))
+    contrib = jnp.take(flat, k * 256 + d, axis=0)
+    contrib = jnp.where(i < length[..., None], contrib, 0)
+    res = _xor_reduce_last(contrib)
     vseq = jnp.asarray(_v_seq_const())
     m0 = jnp.take(vseq, jnp.clip(length, 0, vseq.shape[0] - 1), axis=0)
     m1 = jnp.take(vseq, jnp.clip(length + 1, 0, vseq.shape[0] - 1), axis=0)

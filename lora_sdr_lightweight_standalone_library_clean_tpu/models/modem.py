@@ -89,24 +89,57 @@ def _dec84_const():
     return codes.HAMMING84_DECODE_LUT.astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _crc_position_tables(n: int) -> np.ndarray:
+    """S[k][b] = the CCITT step map applied k times to byte value b.
+
+    The SX1272 CRC step is GF(2)-linear in (state, byte): byte i of an
+    n-byte message enters the register and then undergoes n-1-i further
+    step applications, so the final CRC is the XOR of per-position table
+    lookups — no sequential scan (LoRaCodes.hpp:92-105 semantics, summed
+    in parallel).  Returns (n, 256) uint16 with S[k] = step^k.
+    """
+    tab = codes.crc16_table()
+    s = np.zeros((max(n, 1), 256), np.uint16)
+    s[0] = np.arange(256, dtype=np.uint16)
+    for k in range(1, n):
+        prev = s[k - 1]
+        s[k] = (((prev.astype(np.uint32) << 8) & 0xFFFF)
+                ^ tab[prev >> 8]).astype(np.uint16)
+    return s
+
+
+def _xor_reduce_last(x):
+    """XOR-reduce the last axis with a log-depth fold."""
+    n = x.shape[-1]
+    while n > 1:
+        half = n // 2
+        x = jnp.bitwise_xor(x[..., :half], x[..., half:2 * half]) if \
+            n % 2 == 0 else jnp.concatenate(
+                [jnp.bitwise_xor(x[..., :half], x[..., half:2 * half]),
+                 x[..., 2 * half:]], axis=-1)
+        n = x.shape[-1]
+    return x[..., 0]
+
+
 def crc_sx1272(data, length: int | None = None):
     """Batched SX1272 CRC-16 over the last axis (LoRaCodes.hpp:92-105).
 
-    The byte loop is a ``lax.scan`` with a 256-entry table step; the
-    length-dependent LFSR mask bytes are host-precomputed constants
-    (codes.crc_mask_pair).
-    """
+    GF(2)-linearity turns the reference's per-byte loop into one gather of
+    per-position tables plus a log-depth XOR fold — a 32-step sequential
+    scan measured ~20x slower than this on TPU (bench --stages).  The
+    length-dependent LFSR mask bytes are host constants
+    (codes.crc_mask_pair)."""
     d = jnp.asarray(data, jnp.int32)
     n = d.shape[-1] if length is None else length
-    table = jnp.asarray(codes.crc16_table().astype(np.int32))
-
-    def step(res, byte):
-        crc = ((res << 8) & 0xFFFF) ^ jnp.take(table, res >> 8, axis=0)
-        return crc ^ byte, None
-
-    res0 = jnp.zeros(d.shape[:-1], jnp.int32)
-    res, _ = lax.scan(step, res0, jnp.moveaxis(d[..., :n], -1, 0))
     m0, m1 = codes.crc_mask_pair(n)
+    if n == 0:
+        return jnp.full(d.shape[:-1], m0 ^ (m1 << 8), jnp.uint16)
+    s = _crc_position_tables(n)                       # (n, 256)
+    flat = jnp.asarray(s.reshape(-1).astype(np.int32))
+    ks = jnp.arange(n - 1, -1, -1, dtype=jnp.int32) * 256
+    contrib = jnp.take(flat, ks + d[..., :n], axis=0)
+    res = _xor_reduce_last(contrib)
     return (res ^ m0 ^ (m1 << 8)).astype(jnp.uint16)
 
 
@@ -391,7 +424,7 @@ def demodulate(iq_r, iq_i, params: LoraParams,
     rate = -TWO_PI * est.cfo / np.float32(n)                   # (...,)
 
     from .tones import _use_rx_kernel
-    if _use_rx_kernel(params, backend):
+    if _use_rx_kernel(params, backend, total):
         # single fused kernel: timing shift + dechirp + window + rotate +
         # DFT + detect, windows never touch HBM (ops/pallas_rx.py)
         from ..ops.pallas_rx import rx_window_detect
@@ -438,7 +471,8 @@ def demodulate(iq_r, iq_i, params: LoraParams,
 
 
 def demodulate_wide(iq_r, iq_i, params: LoraParams,
-                    normalize: bool = True) -> DemodResult:
+                    normalize: bool = True,
+                    backend: str = "auto") -> DemodResult:
     """Injective oversampled demodulation: the BW-250/500 receiver the
     reference cannot express.
 
@@ -476,32 +510,56 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
         max_amp = jnp.maximum(
             jnp.max(jnp.abs(iq_r), axis=-1), jnp.max(jnp.abs(iq_i), axis=-1))
         scale = jnp.where(max_amp > 1.0, 1.0 / max_amp, 1.0)[..., None]
-        iq_r = iq_r * scale
-        iq_i = iq_i * scale
+    else:
+        scale = jnp.ones(iq_r.shape[:-1] + (1,), jnp.float32)
 
     est_syms = min(total, 2)
-    est = _estimate_core(iq_r, iq_i, params, est_syms, tie_break_idx=True)
+    est = _estimate_core(iq_r[..., : est_syms * step] * scale,
+                         iq_i[..., : est_syms * step] * scale,
+                         params, est_syms, tie_break_idx=True)
     t_off = jnp.round(est.time_offset).astype(jnp.int32)
     # CFO derotation over the full-rate window: the decimated-grid rate
     # (-2*pi*cfo/n per decimated sample) spread over osr samples
     rate = -TWO_PI * est.cfo / np.float32(n * osr)
 
-    zr, zi = _timing_shifted_windows(iq_r, iq_i, t_off, total, step, osr, n,
-                                     decimate=False)        # (..., S, step)
-    s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(step)
-    start = rate[..., None] * (s_idx + t_off.astype(jnp.float32)[..., None])
-    ph = start[..., None] + rate[..., None, None] * jnp.arange(
-        step, dtype=jnp.float32)
-    c, s_ = jnp.cos(ph), jnp.sin(ph)
-    fr = zr * c - zi * s_
-    fi = zr * s_ + zi * c
+    from ..ops.pallas_rx import wide_supported
+    use_kernel = backend == "pallas_rx" or (
+        backend == "auto" and wide_supported(n, osr, s_real=total))
     win = window_table(n, params.window)
-    if win is not None:
+    if use_kernel:
+        # fused full-rate kernel: the (N*osr)-point detection IS the
+        # osr == 1 kernel with ndft = step (ops/pallas_rx.py, wide=True)
+        from ..ops.pallas_rx import rx_window_detect
         # reference windows the decimated grid; apply per decimated sample
-        w = jnp.repeat(jnp.asarray(win), osr)
-        fr = fr * w
-        fi = fi * w
-    det = detect_ri(fr, fi)                                  # N*osr bins
+        w = (np.repeat(win, osr) if win is not None
+             else np.ones(step, np.float32))
+        d_idx, d_pow, d_pav = rx_window_detect(
+            iq_r, iq_i, jnp.clip(t_off, -step, step), rate, scale[..., 0],
+            jnp.asarray(w), jnp.zeros(step, jnp.float32), params, wide=True)
+        from ..ops.detect import DetectResult
+        z = jnp.zeros_like(d_pow)
+        det = DetectResult(index=d_idx, power=d_pow, power_avg=d_pav,
+                           findex=z, bin_re=z, bin_im=z, mag2_max=z)
+    else:
+        zr, zi = _timing_shifted_windows(iq_r, iq_i, t_off, total, step,
+                                         osr, n,
+                                         decimate=False)    # (..., S, step)
+        zr = zr * scale[..., None]
+        zi = zi * scale[..., None]
+        s_idx = jnp.arange(total, dtype=jnp.float32) * np.float32(step)
+        start = rate[..., None] * (
+            s_idx + t_off.astype(jnp.float32)[..., None])
+        ph = start[..., None] + rate[..., None, None] * jnp.arange(
+            step, dtype=jnp.float32)
+        c, s_ = jnp.cos(ph), jnp.sin(ph)
+        fr = zr * c - zi * s_
+        fi = zr * s_ + zi * c
+        if win is not None:
+            # reference windows the decimated grid; per decimated sample
+            w = jnp.repeat(jnp.asarray(win), osr)
+            fr = fr * w
+            fi = fi * w
+        det = detect_ri(fr, fi)                              # N*osr bins
 
     # Residual timing/CFO moves every tone by the same wide-bin offset; the
     # two sync chirps are known pilots, so measure the common offset there

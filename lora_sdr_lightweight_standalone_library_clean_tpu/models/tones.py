@@ -25,7 +25,8 @@ from .modem import (_estimate_core, _timing_shifted_windows, window_table,
 __all__ = ["demodulate_tones"]
 
 
-def _use_rx_kernel(params: LoraParams, backend: str) -> bool:
+def _use_rx_kernel(params: LoraParams, backend: str,
+                   s_real: int = 8) -> bool:
     """Pick the fully-fused RX kernel (ops/pallas_rx.py): timing shift +
     dechirp/window + DFT + detect in one pass.  'auto' uses it whenever the
     platform/config supports it; 'pallas_rx' forces it."""
@@ -34,7 +35,7 @@ def _use_rx_kernel(params: LoraParams, backend: str) -> bool:
     if backend != "auto":
         return False
     from ..ops.pallas_rx import rx_supported
-    return rx_supported(params.n, params.osr)
+    return rx_supported(params.n, params.osr, s_real=s_real)
 
 
 def demodulate_tones(iq_r, iq_i, params: LoraParams,
@@ -76,7 +77,7 @@ def demodulate_tones(iq_r, iq_i, params: LoraParams,
     t_off = jnp.round(est.time_offset).astype(jnp.int32)
     rate = -TWO_PI * est.cfo / np.float32(n)
 
-    if _use_rx_kernel(params, backend):
+    if _use_rx_kernel(params, backend, total):
         # single fused kernel: timing shift + normalize + window + rotate +
         # DFT + detect, windows never touch HBM (ops/pallas_rx.py)
         from ..ops.pallas_rx import rx_window_detect

@@ -29,10 +29,24 @@ DFT strategy (ops/dft.py semantics, in-kernel):
    k2*n1 + k1 is recovered with an iota/min reduction, preserving the
    reference's lowest-index tie rule (``LoRaDetector.hpp:53``).
 
-Covers osr == 1 (every stock profile); oversampled paths fall back to the
-jnp pipeline.  The timing-shift clamp semantics match ``phy.cpp:209-216``
-exactly: with |t_off| <= step, symbol 0 falls back to its unshifted window
-when t_off < 0 and symbol S-1 when t_off > 0.
+Oversampling (osr > 1) rides the same kernel: the caller splits the stream
+into its ``osr`` decimation-phase copies (a reshape — total HBM bytes are
+unchanged), and the kernel picks each packet's phase ``t_off mod osr``
+in VMEM (the reference decimates at the timing-shifted base,
+``phy.cpp:218-229``, so the phase is per-packet dynamic); the row/lane roll
+then runs in the decimated domain with shift ``floor(t_off / osr)``.  The
+edge-clamp rows come from the phase-0 slab — the reference's clamp falls
+back to the *unshifted* base (``phy.cpp:209-216``), which decimates at
+phase 0.
+
+The wide receiver (``models/modem.py::demodulate_wide``) reuses this kernel
+at full rate: its (N*osr)-point detection IS the osr == 1 kernel with
+``n = N*osr`` (factored DFT, n1 = n/128 up to 128), so BW-250/500 packets
+never fall back to jnp either.
+
+The timing-shift clamp semantics match ``phy.cpp:209-216`` exactly: with
+|t_off| <= step, symbol 0 falls back to its unshifted window when
+t_off < 0 and symbol S-1 when t_off > 0.
 """
 from __future__ import annotations
 
@@ -47,15 +61,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dft import _dft_mats, _twiddle
 
-__all__ = ["rx_window_detect", "rx_supported", "PALLAS_RX_MAX_N"]
+__all__ = ["rx_window_detect", "rx_supported", "PALLAS_RX_MAX_N",
+           "PALLAS_RX_MAX_WIDE"]
 
-PALLAS_RX_MAX_N = 4096
+PALLAS_RX_MAX_N = 4096          # decimated detection size (2^sf)
+PALLAS_RX_MAX_WIDE = 16384      # full-rate wide detection size (2^sf * osr)
 
 
-def rx_supported(n: int, osr: int, platform: str | None = None) -> bool:
+_VMEM_BUDGET = 15 * 1024 * 1024     # leave headroom below the ~16 MiB VMEM
+
+
+def _vmem_ok(ndft: int, osr_k: int, s_real: int) -> bool:
+    """Peak VMEM estimate of one grid step fits the scoped limit.
+
+    Model calibrated against Mosaic's scoped-vmem accounting: the two
+    slab planes are double-buffered by the automatic pipeline (4x one
+    plane) and the factored DFT holds ~6 live (rows, ndft) f32 temporaries
+    (ar/ai scratch + stage outputs); a measured 16384-point, 40-row config
+    peaked at 27.8 MiB = 4 x 3.15 + 5.8 x 2.62."""
+    s_pad = _round_up(max(s_real, 1), 8)
+    srows = _round_up(s_pad + 3, 8)
+    p_tile = _packets_per_tile(ndft)
+    slab_plane = p_tile * osr_k * srows * ndft * 4
+    rows_unit = p_tile * s_pad * ndft * 4
+    return 4 * slab_plane + 6 * rows_unit < _VMEM_BUDGET
+
+
+def rx_supported(n: int, osr: int, platform: str | None = None,
+                 s_real: int = 8) -> bool:
+    """True when the fused kernel covers this (decimated) configuration."""
     if platform is None:
         platform = jax.default_backend()
-    return osr == 1 and n <= PALLAS_RX_MAX_N and platform not in ("cpu",)
+    return (osr <= 8 and n <= PALLAS_RX_MAX_N and platform not in ("cpu",)
+            and _vmem_ok(n, osr, s_real))
+
+
+def wide_supported(n: int, osr: int, platform: str | None = None,
+                   s_real: int = 8) -> bool:
+    """True when the full-rate wide detection (n*osr bins) fits the kernel."""
+    if platform is None:
+        platform = jax.default_backend()
+    return (n * osr <= PALLAS_RX_MAX_WIDE and platform not in ("cpu",)
+            and _vmem_ok(n * osr, 1, s_real))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -148,33 +195,36 @@ def _dft_const_arrays(n: int, factored: bool):
     return [cm, sm]
 
 
-def _shifted_windows(slab_ref, p, t, tm, srows, step, s_pad, s_real):
+def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real):
     """Timing-shifted windows of one packet's slab (phy.cpp:209-216).
 
-    slab row r covers samples [(r-1)*step, r*step); window s starts at
-    sample s*step + t, i.e. slab[s + 1 + rowoff, tm + j] spilling into the
-    following row.  One sublane roll + one lane roll + one select.
+    ``slab`` is the packet's decimation-phase-``t mod osr`` plane
+    (SROWS, ndft); row r covers decimated samples [(r-1)*ndft, r*ndft);
+    window s starts at decimated sample s*ndft + q (q = floor(t/osr)),
+    i.e. slab[s + 1 + rowoff, qm + j] spilling into the following row.
+    One sublane roll + one lane roll + one select.  ``slab0`` is the
+    phase-0 plane: the reference's edge clamp falls back to the
+    *unshifted* base (phy.cpp:209-216), which decimates at phase 0.
     """
-    rowoff = (t - tm) // step                       # floor(t/step): -1|0|1
-    lane_shift = lax.rem(step - tm, step)
+    rowoff = (q - qm) // ndft                       # floor(q/ndft): -1|0|1
+    lane_shift = lax.rem(ndft - qm, ndft)
     row_shift = lax.rem(srows - (1 + rowoff), srows)
-    slab = slab_ref[p]                              # (SROWS, step)
     r = pltpu.roll(pltpu.roll(slab, row_shift, axis=0), lane_shift, axis=1)
-    j = lax.broadcasted_iota(jnp.int32, (s_pad, step), 1)
-    w = jnp.where(j < step - tm, r[0:s_pad], r[1:1 + s_pad])
+    j = lax.broadcasted_iota(jnp.int32, (s_pad, ndft), 1)
+    w = jnp.where(j < ndft - qm, r[0:s_pad], r[1:1 + s_pad])
     # edge clamp: symbol 0 unshifted when t<0, symbol s_real-1 when t>0
-    row = lax.broadcasted_iota(jnp.int32, (s_pad, step), 0)
+    row = lax.broadcasted_iota(jnp.int32, (s_pad, ndft), 0)
     clamp = ((row == 0) & (t < 0)) | ((row == s_real - 1) & (t > 0))
-    return jnp.where(clamp, slab[1:1 + s_pad], w)
+    return jnp.where(clamp, slab0[1:1 + s_pad], w)
 
 
 def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
-               *mat_out_refs, n: int, step: int, s_pad: int, s_real: int,
+               *mat_out_refs, n: int, osr: int, s_pad: int, s_real: int,
                p_tile: int, factored: bool):
     """One grid step = ``p_tile`` packets.
 
     t/rate/scale: whole (B,) arrays in SMEM, indexed b = step*P + p.
-    sr/si: (P, SROWS, step) auto-pipelined slabs.
+    sr/si: (P, osr, SROWS, n) auto-pipelined decimation-phase slabs.
     mr/mi: (1, n) combined down-chirp * window multiplier.
     mat_out_refs: DFT constants, two VMEM scratch rows, then the three
     outputs (idx, pow, pav) each (P, s_pad, 1).
@@ -185,26 +235,49 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
     else:
         c_ref, s_ref, idx_ref, pow_ref, pav_ref, ar_scr, ai_scr = mat_out_refs
 
-    srows = sr_ref.shape[1]
+    srows = sr_ref.shape[2]
     g = pl.program_id(0)
     mr = mr_ref[0][None, :]
     mi = mi_ref[0][None, :]
-    i_lane = lax.broadcasted_iota(jnp.int32, (s_pad, n), 1).astype(jnp.float32)
-    s_row = lax.broadcasted_iota(jnp.int32, (s_pad, n), 0).astype(jnp.float32)
+    i_lane = lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+    s_col = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0).astype(jnp.float32)
 
     for p in range(p_tile):
         b = g * p_tile + p
         t = t_ref[b]
-        tm = lax.rem(lax.rem(t, step) + step, step)
-        wr = _shifted_windows(sr_ref, p, t, tm, srows, step, s_pad, s_real)
-        wi = _shifted_windows(si_ref, p, t, tm, srows, step, s_pad, s_real)
-        # rotation phase (phy.cpp:218-225): rate * (s*n + t/osr + i)
+        # decimated-domain shift q and per-packet decimation phase ph_sel:
+        # oversampled index s*step + t + i*osr == osr*(s*n + q + i) + ph_sel
+        tm_os = lax.rem(lax.rem(t, osr) + osr, osr) if osr > 1 else 0
+        q = (t - tm_os) // osr if osr > 1 else t
+        qm = lax.rem(lax.rem(q, n) + n, n)
+        slab_r0 = sr_ref[p, 0]
+        slab_i0 = si_ref[p, 0]
+        slab_r, slab_i = slab_r0, slab_i0
+        for ph_sel in range(1, osr):                 # VMEM phase select
+            take = tm_os == ph_sel
+            slab_r = jnp.where(take, sr_ref[p, ph_sel], slab_r)
+            slab_i = jnp.where(take, si_ref[p, ph_sel], slab_i)
+        wr = _shifted_windows(slab_r, slab_r0, t, q, qm, srows, n, s_pad,
+                              s_real)
+        wi = _shifted_windows(slab_i, slab_i0, t, q, qm, srows, n, s_pad,
+                              s_real)
+        # rotation phase (phy.cpp:218-225): rate * (s*n + t/osr + i).
+        # Separable: e^{j rate (sn + t/osr)} (x) e^{j rate i} — s_pad + n
+        # transcendentals per packet instead of s_pad * n (the VPU trig was
+        # the kernel's dominant cost), then two complex multiplies.
         rate = rate_ref[b]
-        ph = rate * (s_row * np.float32(n) + t.astype(jnp.float32) + i_lane)
-        c = jnp.cos(ph)
-        s_ = jnp.sin(ph)
-        cr = c * mr - s_ * mi
-        ci = s_ * mr + c * mi
+        t_frac = t.astype(jnp.float32) * np.float32(1.0 / osr)
+        row_ph = rate * (s_col * np.float32(n) + t_frac)    # (s_pad, 1)
+        lane_ph = rate * i_lane                             # (1, n)
+        c_row = jnp.cos(row_ph)
+        s_row_ = jnp.sin(row_ph)
+        c_lane = jnp.cos(lane_ph)
+        s_lane = jnp.sin(lane_ph)
+        # fold the static multiplier into the lane factor once per packet
+        cm = c_lane * mr - s_lane * mi                      # (1, n)
+        sm = s_lane * mr + c_lane * mi
+        cr = c_row * cm - s_row_ * sm                       # (s_pad, n)
+        ci = c_row * sm + s_row_ * cm
         scale = scale_ref[b]
         ar_scr[p * s_pad:(p + 1) * s_pad, :] = (wr * cr - wi * ci) * scale
         ai_scr[p * s_pad:(p + 1) * s_pad, :] = (wr * ci + wi * cr) * scale
@@ -230,13 +303,13 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "step", "s_real", "interpret"))
+    static_argnames=("n", "osr", "s_real", "interpret"))
 def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
-             *, n: int, step: int, s_real: int, interpret: bool):
+             *, n: int, osr: int, s_real: int, interpret: bool):
     b = stream_r.shape[0]
     s_pad = _round_up(s_real, 8)
     srows = _round_up(s_pad + 3, 8)
-    total_len = s_real * step
+    total_len = s_real * n * osr
     assert stream_r.shape[-1] == total_len
 
     p_tile = _packets_per_tile(n)
@@ -249,10 +322,17 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
         rate = jnp.pad(rate, (0, b_pad - b))
         scale = jnp.pad(scale, (0, b_pad - b))
 
-    # padded slab view: 1 left pad row + data + right pad rows
-    pad_r = (srows - 1) * step - total_len
-    pr = jnp.pad(stream_r, ((0, 0), (step, pad_r))).reshape(b_pad, srows, step)
-    pi = jnp.pad(stream_i, ((0, 0), (step, pad_r))).reshape(b_pad, srows, step)
+    # decimation-phase planes: oversampled index osr*d + p -> plane p,
+    # decimated index d.  A pure reshape/transpose — total bytes unchanged.
+    dec_len = s_real * n
+    pr = jnp.moveaxis(stream_r.reshape(b_pad, dec_len, osr), -1, 1)
+    pi = jnp.moveaxis(stream_i.reshape(b_pad, dec_len, osr), -1, 1)
+    # padded slab view per plane: 1 left pad row + data + right pad rows
+    pad_r = (srows - 1) * n - dec_len
+    pr = jnp.pad(pr, ((0, 0), (0, 0), (n, pad_r))).reshape(
+        b_pad, osr, srows, n)
+    pi = jnp.pad(pi, ((0, 0), (0, 0), (n, pad_r))).reshape(
+        b_pad, osr, srows, n)
 
     factored = n > 512
     mats = _dft_const_arrays(n, factored)
@@ -260,9 +340,10 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
                               memory_space=pltpu.VMEM) for m in mats]
 
     kernel = functools.partial(
-        _rx_kernel, n=n, step=step, s_pad=s_pad, s_real=s_real,
+        _rx_kernel, n=n, osr=osr, s_pad=s_pad, s_real=s_real,
         p_tile=p_tile, factored=factored)
-    slab_spec = pl.BlockSpec((p_tile, srows, step), lambda i: (i, 0, 0),
+    slab_spec = pl.BlockSpec((p_tile, osr, srows, n),
+                             lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     mult_spec = pl.BlockSpec((1, n), lambda i: (0, 0),
@@ -298,25 +379,34 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
 
 
 def rx_window_detect(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
-                     params, *, interpret: bool = False):
+                     params, *, wide: bool = False, interpret: bool = False):
     """Fused RX: timing-shifted windows + dechirp/window + DFT + detect.
 
     Args:
-      stream_r/i: float32 (..., S * step) packet sample streams (osr == 1,
-        so step == n).
-      t_off: int32 (...,) per-packet timing shift, |t_off| <= step.
-      rate: float32 (...,) CFO derotation rate (-2*pi*cfo/n).
+      stream_r/i: float32 (..., S * step) packet sample streams.
+      t_off: int32 (...,) per-packet timing shift in oversampled samples,
+        |t_off| <= step.
+      rate: float32 (...,) CFO derotation rate per detection sample
+        (-2*pi*cfo/n decimated; -2*pi*cfo/(n*osr) wide).
       scale: float32 (...,) per-packet amplitude normalization.
-      mult_r/i: float32 (n,) per-sample multiplier (down-chirp and/or
-        window; pass (ones, zeros) for the pre-dechirped tones path).
-      params: LoraParams (osr must be 1).
+      mult_r/i: float32 (ndft,) per-sample multiplier (down-chirp and/or
+        window; pass (ones, zeros) for the pre-dechirped tones path) where
+        ndft = n decimated, n*osr wide.
+      params: LoraParams.
+      wide: detect over the full-rate (n*osr)-point grid (the injective
+        BW-250/500 receiver, models/modem.py::demodulate_wide) instead of
+        the reference's decimated n-point grid.
 
     Returns:
       (index, power_db, noise_db) each (..., S) matching
       ops/detect.py::detect_ri semantics (first-max argmax ties).
     """
-    n, step = params.n, params.step
-    assert params.osr == 1, "rx_window_detect covers osr == 1 only"
+    step = params.step
+    if wide:
+        ndft, osr_k = step, 1
+    else:
+        ndft, osr_k = params.n, params.osr
+    assert mult_r.shape[-1] == ndft
     lead = stream_r.shape[:-1]
     s_real = stream_r.shape[-1] // step
     bsz = int(np.prod(lead)) if lead else 1
@@ -324,5 +414,5 @@ def rx_window_detect(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
     si = stream_i.reshape(bsz, s_real * step)
     out = _rx_call(sr, si, t_off.reshape(bsz), rate.reshape(bsz),
                    scale.reshape(bsz), mult_r, mult_i,
-                   n=n, step=step, s_real=s_real, interpret=interpret)
+                   n=ndft, osr=osr_k, s_real=s_real, interpret=interpret)
     return tuple(o.reshape(lead + (s_real,)) for o in out)

@@ -183,3 +183,85 @@ def test_demod_backend_pallas_interpret_equals_jnp():
     np.testing.assert_array_equal(np.asarray(got.symbols),
                                   np.asarray(want.symbols))
     assert int(got.sync_word[0]) == int(want.sync_word[0])
+
+
+@pytest.mark.parametrize("sf,osr", [(7, 2), (7, 4), (9, 2), (10, 4)])
+def test_rx_kernel_osr_matches_jnp_path(sf, osr):
+    """osr > 1: the kernel's in-VMEM phase select + decimated-domain shift
+    must reproduce the jnp pipeline (decimation at the timing-shifted base,
+    phy.cpp:218-229), including the phase-0 edge clamps."""
+    from lora_sdr_lightweight_standalone_library_clean_tpu.models.modem import (
+        _timing_shifted_windows)
+    from lora_sdr_lightweight_standalone_library_clean_tpu.ops.pallas_rx import (
+        rx_window_detect)
+    p = L.LoraParams(sf=sf, osr=osr)
+    n, step = p.n, p.step
+    rng = np.random.default_rng(sf * 10 + osr)
+    B = 6
+    payloads = rng.integers(0, 256, (B, 4)).astype(np.uint8)
+    re, im = L.modulate(L.encode(payloads), p)
+    dr, di = L.dechirp(re, im, p)
+    dr = np.asarray(dr) + rng.standard_normal(dr.shape).astype(np.float32) * 0.03
+    di = np.asarray(di) + rng.standard_normal(di.shape).astype(np.float32) * 0.03
+    S = dr.shape[-1] // step
+    t_off = rng.integers(-step, step + 1, B).astype(np.int32)
+    t_off[:4] = [0, step, -step, osr + 1]       # edges + non-zero phase
+    rate = (rng.standard_normal(B) * 1e-4).astype(np.float32)
+    scale = rng.uniform(0.5, 1.0, B).astype(np.float32)
+
+    zr, zi = _timing_shifted_windows(jnp.asarray(dr), jnp.asarray(di),
+                                     jnp.asarray(t_off), S, step, osr, n)
+    zr = zr * scale[:, None, None]
+    zi = zi * scale[:, None, None]
+    ph = (rate[:, None, None]
+          * (np.arange(S, dtype=np.float32)[None, :, None] * n
+             + t_off[:, None, None].astype(np.float32) / osr
+             + np.arange(n, dtype=np.float32)))
+    c, s_ = np.cos(ph), np.sin(ph)
+    fr = zr * c - zi * s_
+    fi = zr * s_ + zi * c
+    want = detect_ri(jnp.asarray(fr), jnp.asarray(fi))
+
+    gi, gp, ga = rx_window_detect(
+        jnp.asarray(dr), jnp.asarray(di), jnp.asarray(t_off),
+        jnp.asarray(rate), jnp.asarray(scale),
+        jnp.ones(n, jnp.float32), jnp.zeros(n, jnp.float32), p,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(want.index))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(want.power),
+                               rtol=1e-3, atol=0.05)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(want.power_avg),
+                               rtol=1e-3, atol=0.05)
+
+
+@pytest.mark.parametrize("sf,bw,osr", [(9, 250000, 2), (12, 500000, 4)])
+def test_wide_kernel_matches_jnp_wide(sf, bw, osr):
+    """demodulate_wide via the fused full-rate kernel (ndft = N*osr, up to
+    16384-point factored DFT) recovers the same symbols as the jnp wide
+    path on the BW-250/500 profiles the reference cannot decode."""
+    import lora_sdr_lightweight_standalone_library_clean_tpu.ops.pallas_rx as prx
+    p = L.LoraParams(sf=sf, bw=bw, osr=osr)
+    rng = np.random.default_rng(sf)
+    B = 2
+    nsym = 6
+    syms = rng.integers(0, p.n, (B, nsym)).astype(np.uint16)
+    re, im = L.modulate(syms, p)
+    dr, di = L.dechirp(re, im, p)
+    dr = np.asarray(dr) + rng.standard_normal(dr.shape).astype(np.float32) * 0.01
+    di = np.asarray(di) + rng.standard_normal(di.shape).astype(np.float32) * 0.01
+
+    want = L.demodulate_wide(jnp.asarray(dr), jnp.asarray(di), p,
+                             backend="jnp")
+    orig = prx.rx_window_detect
+    try:
+        prx.rx_window_detect = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True})
+        got = L.demodulate_wide(jnp.asarray(dr), jnp.asarray(di), p,
+                                backend="pallas_rx")
+    finally:
+        prx.rx_window_detect = orig
+    np.testing.assert_array_equal(np.asarray(got.symbols),
+                                  np.asarray(want.symbols))
+    np.testing.assert_array_equal(np.asarray(got.symbols), syms)
+    np.testing.assert_array_equal(np.asarray(got.sync_word),
+                                  np.asarray(want.sync_word))
