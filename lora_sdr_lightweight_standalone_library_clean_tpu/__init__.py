@@ -15,6 +15,19 @@ if _os.environ.get("JAX_PLATFORMS"):
 
     _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 
+try:
+    # Persistent compilation cache: TPU compiles of the larger kernels run
+    # minutes through the tunnel; caching them on disk makes every
+    # subsequent process (bench, CLI, tests) start warm.
+    import jax as _jax
+
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                             _os.path.expanduser("~/.cache/jax_lora_tpu"))
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from .utils.config import LoraParams, Window, load_profiles, params_from_profile, STOCK_PROFILES
 from .utils import errors
 from .models.modem import (

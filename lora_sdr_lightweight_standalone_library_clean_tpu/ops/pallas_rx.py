@@ -220,22 +220,39 @@ def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real):
 
 def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
                *mat_out_refs, n: int, osr: int, s_pad: int, s_real: int,
-               p_tile: int, factored: bool):
+               p_tile: int, factored: bool, padded: bool):
     """One grid step = ``p_tile`` packets.
 
     t/rate/scale: whole (B,) arrays in SMEM, indexed b = step*P + p.
-    sr/si: (P, osr, SROWS, n) auto-pipelined decimation-phase slabs.
+    sr/si: decimation-phase slabs — pre-padded (P, osr, SROWS, n) when
+    ``padded`` (osr > 1), else the raw (P, 1, s_real, n) stream (a free
+    bitcast of the caller's buffer: the halo'd slab is assembled in VMEM
+    scratch instead, deleting two full HBM pad/relayout passes per plane
+    that cost more than the kernel itself).
     mr/mi: (1, n) combined down-chirp * window multiplier.
-    mat_out_refs: DFT constants, two VMEM scratch rows, then the three
-    outputs (idx, pow, pav) each (P, s_pad, 1).
+    mat_out_refs: DFT constants, VMEM scratch, then the three outputs
+    (idx, pow, pav) each (P, s_pad, 1).
     """
     if factored:
         (c1_ref, s1_ref, c2_ref, s2_ref, tc_ref, ts_ref,
-         idx_ref, pow_ref, pav_ref, ar_scr, ai_scr) = mat_out_refs
+         idx_ref, pow_ref, pav_ref, ar_scr, ai_scr, *slab_scr) = mat_out_refs
     else:
-        c_ref, s_ref, idx_ref, pow_ref, pav_ref, ar_scr, ai_scr = mat_out_refs
+        (c_ref, s_ref, idx_ref, pow_ref, pav_ref, ar_scr, ai_scr,
+         *slab_scr) = mat_out_refs
 
-    srows = sr_ref.shape[2]
+    if padded:
+        srows = sr_ref.shape[2]
+    else:
+        sl_r, sl_i = slab_scr
+        srows = sl_r.shape[0]
+        # zero the halo rows once per grid step; the p-loop only ever
+        # rewrites rows 1..1+s_real
+        zrow = jnp.zeros((1, n), jnp.float32)
+        sl_r[0:1] = zrow
+        sl_i[0:1] = zrow
+        for r in range(1 + s_real, srows):
+            sl_r[r:r + 1] = zrow
+            sl_i[r:r + 1] = zrow
     g = pl.program_id(0)
     mr = mr_ref[0][None, :]
     mi = mi_ref[0][None, :]
@@ -250,13 +267,21 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
         tm_os = lax.rem(lax.rem(t, osr) + osr, osr) if osr > 1 else 0
         q = (t - tm_os) // osr if osr > 1 else t
         qm = lax.rem(lax.rem(q, n) + n, n)
-        slab_r0 = sr_ref[p, 0]
-        slab_i0 = si_ref[p, 0]
-        slab_r, slab_i = slab_r0, slab_i0
-        for ph_sel in range(1, osr):                 # VMEM phase select
-            take = tm_os == ph_sel
-            slab_r = jnp.where(take, sr_ref[p, ph_sel], slab_r)
-            slab_i = jnp.where(take, si_ref[p, ph_sel], slab_i)
+        if padded:
+            slab_r0 = sr_ref[p, 0]
+            slab_i0 = si_ref[p, 0]
+            slab_r, slab_i = slab_r0, slab_i0
+            for ph_sel in range(1, osr):             # VMEM phase select
+                take = tm_os == ph_sel
+                slab_r = jnp.where(take, sr_ref[p, ph_sel], slab_r)
+                slab_i = jnp.where(take, si_ref[p, ph_sel], slab_i)
+        else:
+            # assemble the halo'd slab in VMEM (osr == 1: phase 0 only)
+            sl_r[1:1 + s_real] = sr_ref[p, 0]
+            sl_i[1:1 + s_real] = si_ref[p, 0]
+            slab_r = sl_r[...]
+            slab_i = sl_i[...]
+            slab_r0, slab_i0 = slab_r, slab_i
         wr = _shifted_windows(slab_r, slab_r0, t, q, qm, srows, n, s_pad,
                               s_real)
         wi = _shifted_windows(slab_i, slab_i0, t, q, qm, srows, n, s_pad,
@@ -322,17 +347,27 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
         rate = jnp.pad(rate, (0, b_pad - b))
         scale = jnp.pad(scale, (0, b_pad - b))
 
-    # decimation-phase planes: oversampled index osr*d + p -> plane p,
-    # decimated index d.  A pure reshape/transpose — total bytes unchanged.
-    dec_len = s_real * n
-    pr = jnp.moveaxis(stream_r.reshape(b_pad, dec_len, osr), -1, 1)
-    pi = jnp.moveaxis(stream_i.reshape(b_pad, dec_len, osr), -1, 1)
-    # padded slab view per plane: 1 left pad row + data + right pad rows
-    pad_r = (srows - 1) * n - dec_len
-    pr = jnp.pad(pr, ((0, 0), (0, 0), (n, pad_r))).reshape(
-        b_pad, osr, srows, n)
-    pi = jnp.pad(pi, ((0, 0), (0, 0), (n, pad_r))).reshape(
-        b_pad, osr, srows, n)
+    padded = osr > 1
+    if padded:
+        # decimation-phase planes: oversampled index osr*d + p -> plane p,
+        # decimated index d.  A pure reshape/transpose — bytes unchanged.
+        dec_len = s_real * n
+        pr = jnp.moveaxis(stream_r.reshape(b_pad, dec_len, osr), -1, 1)
+        pi = jnp.moveaxis(stream_i.reshape(b_pad, dec_len, osr), -1, 1)
+        # padded slab view per plane: 1 left pad row + data + right pad
+        pad_r = (srows - 1) * n - dec_len
+        pr = jnp.pad(pr, ((0, 0), (0, 0), (n, pad_r))).reshape(
+            b_pad, osr, srows, n)
+        pi = jnp.pad(pi, ((0, 0), (0, 0), (n, pad_r))).reshape(
+            b_pad, osr, srows, n)
+        slab_rows = srows
+    else:
+        # free bitcast of the raw stream; the halo'd slab is assembled in
+        # VMEM scratch inside the kernel (the XLA pad + relayout copies
+        # this replaces cost more HBM time than the kernel itself)
+        pr = stream_r.reshape(b_pad, 1, s_real, n)
+        pi = stream_i.reshape(b_pad, 1, s_real, n)
+        slab_rows = s_real
 
     factored = n > 512
     mats = _dft_const_arrays(n, factored)
@@ -341,8 +376,8 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
 
     kernel = functools.partial(
         _rx_kernel, n=n, osr=osr, s_pad=s_pad, s_real=s_real,
-        p_tile=p_tile, factored=factored)
-    slab_spec = pl.BlockSpec((p_tile, osr, srows, n),
+        p_tile=p_tile, factored=factored, padded=padded)
+    slab_spec = pl.BlockSpec((p_tile, osr, slab_rows, n),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -367,7 +402,10 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
         scratch_shapes=[
             pltpu.VMEM((rows, n), jnp.float32),
             pltpu.VMEM((rows, n), jnp.float32),
-        ],
+        ] + ([] if padded else [
+            pltpu.VMEM((srows, n), jnp.float32),
+            pltpu.VMEM((srows, n), jnp.float32),
+        ]),
         interpret=interpret,
     )(t_off.astype(jnp.int32), rate.astype(jnp.float32),
       scale.astype(jnp.float32), pr, pi,
