@@ -126,13 +126,20 @@ def modulate_ri(symbols, params: LoraParams, amplitude: float = 1.0,
     packet-wide exactly-carried phase.  Batched over any leading axes of
     ``symbols``.
 
-    ``method``: 'auto' picks the MXU tone-matmul synthesis at osr == 1 (see
-    ``_modulate_ri_mxu``) and the closed-form VPU phases otherwise; 'vpu' /
-    'mxu' force a path.  Both are float32 roundings of the same exact
-    integer phase; they differ only in last-ULP placement.
+    ``method``: 'auto' picks the XLA MXU tone-matmul synthesis at osr == 1
+    and the closed-form VPU phases otherwise; 'vpu' / 'mxu' / 'pallas'
+    force a path ('pallas' = the fused row-major TX kernel,
+    ops/pallas_tx.py — standalone-verified bit-exact on chip, but kept
+    opt-in: composing it with the Pallas RX kernel in one while-loop wedges
+    the tunnel's AOT compile, see PERF.md).  All are float32 roundings of
+    the same exact integer phase; they differ only in last-ULP placement.
 
     Returns (re, im) float32 arrays of shape (..., (S+2) * n * osr).
     """
+    if method == "pallas":
+        from .pallas_tx import tx_tone_synth
+        allsyms = _with_sync_prelude(jnp.asarray(symbols, jnp.int32), params)
+        return tx_tone_synth(allsyms, params, amplitude)
     if method == "mxu" or (method == "auto" and params.osr == 1):
         return _modulate_ri_mxu(symbols, params, amplitude)
     n, osr, bs = params.n, params.osr, params.bw_scale

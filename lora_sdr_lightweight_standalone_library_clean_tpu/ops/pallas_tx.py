@@ -1,0 +1,154 @@
+"""Fused Pallas TX kernel: one-hot tone matmul chirp synthesis, row-major out.
+
+The XLA MXU modulate path (``ops/chirp.py::_modulate_ri_mxu``) computes the
+right math but XLA lays its matmul output out batch-minor, and every
+consumer downstream (the Pallas RX kernel, the flat IQ bitcast) needs
+row-major — the relayout copies cost ~3.5 ms/iter at sf7 batch 8192, as
+much as the RX kernel itself (PERF.md).  This kernel emits (B, S, n)
+row-major directly: per packet the one-hot rows are built in VMEM from an
+iota compare (no HBM one-hot), one (P*s_pad, n) x (n, n) matmul synthesizes
+all tone factors on the MXU, and the base-chirp/sign/amplitude epilogue is
+fused before the single output write.
+
+``dechirp=True`` multiplies the per-sample constant by the demod down-chirp
+(phy.cpp:206-208) — the modulate->dechirp producer chain of the reference
+perf pipeline (tests/performance_test.cpp:112-125) collapses into the same
+single write, exactly like XLA's own elementwise fusion, just without the
+layout thrash.
+
+Covers osr == 1 and n <= 512 (dense tone tables); other configurations use
+the XLA paths in ops/chirp.py.  Phase identity (ops/chirp.py:193-207): at
+osr == 1, ``chirp_s[m] = sign_row * base[m] * w^(t m)`` with
+``t = (s * bw_scale) mod n`` and ``sign_row = (-1)^row`` for odd bw_scale.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .chirp import _tx_base_chirp, _tx_tone_tables, downchirp_ri
+from .pallas_rx import _round_up, _packets_per_tile
+
+__all__ = ["tx_supported", "tx_tone_synth"]
+
+PALLAS_TX_MAX_N = 512
+
+
+def tx_supported(n: int, osr: int, platform: str | None = None) -> bool:
+    if platform is None:
+        platform = jax.default_backend()
+    return osr == 1 and n <= PALLAS_TX_MAX_N and platform not in ("cpu",)
+
+
+def _tx_kernel(tone_ref, wc_ref, ws_ref, mr_ref, mi_ref, re_ref, im_ref,
+               oh_scr, *, n: int, s_pad: int, s_real: int, p_tile: int,
+               alt_sign: bool):
+    """One grid step = ``p_tile`` packets.
+
+    tone_ref: (P, s_pad, 1) int32 tone indices t = (sym * bs) mod n.
+    wc/ws: (n, n) tone tables w[t, m]; mr/mi: (1, n) combined
+    base-chirp * amplitude (* down-chirp) constant.
+    re/im: (P, s_real, n) row-major outputs.
+    """
+    lane = lax.broadcasted_iota(jnp.int32, (s_pad, n), 1)
+    for p in range(p_tile):
+        t = tone_ref[p]                              # (s_pad, 1)
+        oh_scr[p * s_pad:(p + 1) * s_pad, :] = (
+            lane == t).astype(jnp.float32)
+    oh = oh_scr[...]                                 # (P*s_pad, n)
+    c = jnp.dot(oh, wc_ref[...], preferred_element_type=jnp.float32)
+    s_ = jnp.dot(oh, ws_ref[...], preferred_element_type=jnp.float32)
+    mr = mr_ref[0][None, :]
+    mi = mi_ref[0][None, :]
+    re = c * mr - s_ * mi
+    im = s_ * mr + c * mi
+    if alt_sign:
+        row = lax.broadcasted_iota(jnp.int32, (p_tile * s_pad, n), 0)
+        neg = lax.rem(row, 2) == 1
+        re = jnp.where(neg, -re, re)
+        im = jnp.where(neg, -im, im)
+    for p in range(p_tile):
+        re_ref[p] = re[p * s_pad:p * s_pad + s_real, :]
+        im_ref[p] = im[p * s_pad:p * s_pad + s_real, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "s_real", "alt_sign", "interpret"))
+def _tx_call(tone, mult_r, mult_i, *, n: int, s_real: int, alt_sign: bool,
+             interpret: bool):
+    b = tone.shape[0]
+    s_pad = _round_up(s_real, 8)
+    p_tile = _packets_per_tile(n)
+    b_pad = _round_up(b, p_tile)
+    if b_pad != b:
+        tone = jnp.pad(tone, ((0, b_pad - b), (0, 0)))
+    if s_pad != s_real:
+        tone = jnp.pad(tone, ((0, 0), (0, s_pad - s_real)))
+    tone3 = tone.reshape(b_pad, s_pad, 1)
+
+    wc, ws = (jnp.asarray(a) for a in _tx_tone_tables(n))
+    grid = b_pad // p_tile
+    kernel = functools.partial(_tx_kernel, n=n, s_pad=s_pad, s_real=s_real,
+                               p_tile=p_tile, alt_sign=alt_sign)
+    tone_spec = pl.BlockSpec((p_tile, s_pad, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((n, n), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    mult_spec = pl.BlockSpec((1, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((p_tile, s_real, n), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    re, im = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[tone_spec, tab_spec, tab_spec, mult_spec, mult_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, s_real, n), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, s_real, n), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((p_tile * s_pad, n), jnp.float32)],
+        interpret=interpret,
+    )(tone3, wc, ws, mult_r.reshape(1, n), mult_i.reshape(1, n))
+    return re[:b], im[:b]
+
+
+def tx_tone_synth(symbols_with_sync, params, amplitude: float = 1.0,
+                  dechirp: bool = False, *, interpret: bool = False):
+    """Synthesize a packet's chirps (sync prelude included by the caller).
+
+    Args:
+      symbols_with_sync: int32 (..., S+2) symbol values (sync chirps first,
+        ops/chirp.py::_with_sync_prelude).
+      dechirp: additionally multiply by the demod down-chirp so the output
+        IS the pre-dechirped stream (tests/e2e_chain_test.cpp:79-93's
+        external dechirp, fused into the synthesis write).
+
+    Returns (re, im) float32 of shape (..., (S+2) * n), row-major.
+    """
+    n, bs = params.n, params.bw_scale
+    assert params.osr == 1 and n <= PALLAS_TX_MAX_N
+    amplitude = np.float32(np.clip(amplitude, -1.0, 1.0))  # LoRaMod.cpp:18
+    sym = jnp.asarray(symbols_with_sync, jnp.int32)
+    lead = sym.shape[:-1]
+    s_total = sym.shape[-1]
+    tone = jnp.mod(sym * bs, n).reshape(-1, s_total)
+
+    bc, bsn = _tx_base_chirp(n, bs)
+    mr = (amplitude * bc).astype(np.float32)
+    mi = (amplitude * bsn).astype(np.float32)
+    if dechirp:
+        dcr, dci = downchirp_ri(params.sf, bs)
+        mr, mi = mr * dcr - mi * dci, mr * dci + mi * dcr
+    alt_sign = bool((bs * n) % (2 * n))
+    re, im = _tx_call(tone, jnp.asarray(mr), jnp.asarray(mi),
+                      n=n, s_real=s_total, alt_sign=alt_sign,
+                      interpret=interpret)
+    out = lead + (s_total * n,)
+    return re.reshape(out), im.reshape(out)

@@ -265,3 +265,33 @@ def test_wide_kernel_matches_jnp_wide(sf, bw, osr):
     np.testing.assert_array_equal(np.asarray(got.symbols), syms)
     np.testing.assert_array_equal(np.asarray(got.sync_word),
                                   np.asarray(want.sync_word))
+
+
+@pytest.mark.parametrize("sf", [7, 9])
+def test_tx_kernel_matches_mxu_modulate(sf):
+    """The Pallas TX kernel reproduces the XLA MXU tone-matmul synthesis
+    (same exact-integer-phase identity) bit-for-bit in detection and within
+    float tolerance in IQ, including the fused-dechirp variant."""
+    from lora_sdr_lightweight_standalone_library_clean_tpu.ops.chirp import (
+        modulate_ri, _with_sync_prelude, downchirp_ri)
+    from lora_sdr_lightweight_standalone_library_clean_tpu.ops.pallas_tx \
+        import tx_tone_synth
+    p = L.LoraParams(sf=sf)
+    rng = np.random.default_rng(sf)
+    syms = rng.integers(0, 256, (4, 10)).astype(np.uint16)
+    wr, wi = modulate_ri(syms, p, amplitude=0.75, method="mxu")
+    allsyms = _with_sync_prelude(jnp.asarray(syms, jnp.int32), p)
+    gr, gi = tx_tone_synth(allsyms, p, amplitude=0.75, interpret=True)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(wr),
+                               atol=2e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                               atol=2e-6, rtol=0)
+
+    # fused dechirp == modulate then external dechirp
+    dr, di = L.dechirp(wr, wi, p)
+    fr, fi = tx_tone_synth(allsyms, p, amplitude=0.75, dechirp=True,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(fr), np.asarray(dr),
+                               atol=4e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(di),
+                               atol=4e-6, rtol=0)
