@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--packets", type=int, default=1000)
     ap.add_argument("--bytes", type=int, default=16, dest="nbytes")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--receiver", choices=["tones", "wide"], default="tones",
+                    help="wide: sweep demodulate_wide at osr >= bw_scale "
+                         "(required for decodable BW-250/500 sweeps)")
+    ap.add_argument("--theory", action="store_true",
+                    help="append the exact non-coherent SER theory column")
     ap.add_argument("--out", default="-", help="CSV output ('-' = stdout)")
     ap.add_argument("--plot", action="store_true",
                     help="print an ASCII PER-vs-SNR curve to stderr")
@@ -50,11 +55,20 @@ def main(argv=None) -> int:
         print("awgn_sweep: empty SNR range (start > stop)", file=sys.stderr)
         return 1
     points = sweep.per_sweep(params, snrs, packets=args.packets,
-                             payload_len=args.nbytes, seed=args.seed)
+                             payload_len=args.nbytes, seed=args.seed,
+                             receiver=args.receiver)
 
-    lines = ["snr_db,ser,ber,per,crc_ok_rate"]
-    lines += [f"{p.snr_db:g},{p.ser:.6g},{p.ber:.6g},{p.per:.6g},"
-              f"{p.crc_ok_rate:.6g}" for p in points]
+    if args.theory:
+        th = sweep.ser_theory(snrs, args.sf)
+        th = np.atleast_1d(th)
+        lines = ["snr_db,ser,ber,per,crc_ok_rate,ser_theory"]
+        lines += [f"{p.snr_db:g},{p.ser:.6g},{p.ber:.6g},{p.per:.6g},"
+                  f"{p.crc_ok_rate:.6g},{t:.6g}"
+                  for p, t in zip(points, th)]
+    else:
+        lines = ["snr_db,ser,ber,per,crc_ok_rate"]
+        lines += [f"{p.snr_db:g},{p.ser:.6g},{p.ber:.6g},{p.per:.6g},"
+                  f"{p.crc_ok_rate:.6g}" for p in points]
     csv = "\n".join(lines) + "\n"
     if args.out == "-":
         sys.stdout.write(csv)

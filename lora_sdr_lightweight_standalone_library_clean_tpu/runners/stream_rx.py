@@ -20,7 +20,10 @@ import sys
 import numpy as np
 import jax.numpy as jnp
 
-from .. import LoraParams, receive_stream, stream_rx_init, packet_samples
+from .. import (LoraParams, receive_stream, receive_stream_frames,
+                stream_rx_init, packet_samples)
+from ..models import frame as frame_codec
+from ..parallel.receiver import stream_frames_init
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -33,7 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cr", default="4/5")
     ap.add_argument("--osr", type=int, default=1)
     ap.add_argument("--payload-bytes", type=int, required=True,
-                    help="expected payload length (fixed, headerless)")
+                    help="expected payload length (fixed, headerless), or "
+                         "the maximum length with --framed")
+    ap.add_argument("--framed", action="store_true",
+                    help="header-driven variable-length frames "
+                         "(receive_stream_frames): each line also reports "
+                         "the decoded length and header verdict")
     ap.add_argument("--chunk", type=int, default=65536,
                     help="samples per processing chunk")
     ap.add_argument("--max-packets", type=int, default=16,
@@ -55,7 +63,10 @@ def main(argv=None) -> int:
     iq_r = np.ascontiguousarray(f[0::2])
     iq_i = np.ascontiguousarray(f[1::2])
     params = LoraParams(sf=args.sf, bw=args.bw, cr=args.cr, osr=args.osr)
-    psyms = args.payload_bytes * 2
+    if args.framed:
+        psyms = frame_codec.max_frame_symbols(params, args.payload_bytes)
+    else:
+        psyms = args.payload_bytes * 2
     plen = packet_samples(params, psyms)
 
     stride = max(params.step // 4, 1)
@@ -65,18 +76,34 @@ def main(argv=None) -> int:
     iq_r = np.pad(iq_r, (0, total - iq_r.size))
     iq_i = np.pad(iq_i, (0, total - iq_i.size))
 
-    state = stream_rx_init(params, psyms)
+    state = (stream_frames_init(params, args.payload_bytes) if args.framed
+             else stream_rx_init(params, psyms))
     found = 0
     for lo in range(0, total, chunk):
-        pkts, state = receive_stream(
-            jnp.asarray(iq_r[lo:lo + chunk]), jnp.asarray(iq_i[lo:lo + chunk]),
-            params, payload_symbols=psyms, max_packets=args.max_packets,
-            state=state, power_gate_db=args.power_gate_db)
+        cr_ = jnp.asarray(iq_r[lo:lo + chunk])
+        ci_ = jnp.asarray(iq_i[lo:lo + chunk])
+        if args.framed:
+            pkts, state = receive_stream_frames(
+                cr_, ci_, params, max_payload_len=args.payload_bytes,
+                max_packets=args.max_packets, state=state,
+                power_gate_db=args.power_gate_db)
+        else:
+            pkts, state = receive_stream(
+                cr_, ci_, params, payload_symbols=psyms,
+                max_packets=args.max_packets, state=state,
+                power_gate_db=args.power_gate_db)
         valid = np.asarray(pkts.valid)
         for k in np.nonzero(valid)[0]:
-            payload = bytes(np.asarray(pkts.payload)[k]).hex().upper()
-            print(f"{int(np.asarray(pkts.start)[k])} "
-                  f"{int(bool(np.asarray(pkts.crc_ok)[k]))} {payload}")
+            if args.framed:
+                ln = int(np.asarray(pkts.length)[k])
+                payload = bytes(np.asarray(pkts.payload)[k][:ln]).hex().upper()
+                print(f"{int(np.asarray(pkts.start)[k])} "
+                      f"{int(bool(np.asarray(pkts.crc_ok)[k]))} {payload} "
+                      f"len={ln} hdr_ok={int(bool(np.asarray(pkts.hdr_ok)[k]))}")
+            else:
+                payload = bytes(np.asarray(pkts.payload)[k]).hex().upper()
+                print(f"{int(np.asarray(pkts.start)[k])} "
+                      f"{int(bool(np.asarray(pkts.crc_ok)[k]))} {payload}")
             found += 1
     print(f"stream_rx: {found} packets recovered", file=sys.stderr)
     return 0

@@ -208,3 +208,45 @@ def test_framed_vector_dump(tmp_path):
     dec = np.fromfile(out / "decoded.bin", np.uint8)
     pay = np.fromfile(out / "payload.bin", np.uint8)
     assert (dec[:pay.size] == pay).all()
+
+
+def test_framed_stream_rx_runner(tmp_path):
+    """stream_rx --framed recovers mixed-length frames from a capture."""
+    import lora_sdr_lightweight_standalone_library_clean_tpu as L
+    from lora_sdr_lightweight_standalone_library_clean_tpu.models import frame
+
+    p = L.LoraParams(sf=7, cr="4/8")
+    rng = np.random.default_rng(0)
+    sr = (rng.standard_normal(32768) * 0.05).astype(np.float32)
+    si = (rng.standard_normal(32768) * 0.05).astype(np.float32)
+    pays = [rng.integers(0, 256, 5, dtype=np.uint8),
+            rng.integers(0, 256, 12, dtype=np.uint8)]
+    for g, pay in zip((3008, 12000), pays):
+        sym = frame.encode_frame(pay, p)
+        re, im = L.modulate(np.asarray(sym)[None], p)
+        n = np.asarray(re).shape[-1]
+        sr[g:g + n] += np.asarray(re)[0]
+        si[g:g + n] += np.asarray(im)[0]
+    inter = np.empty(sr.size * 2, np.float32)
+    inter[0::2] = sr
+    inter[1::2] = si
+    cap = tmp_path / "cap.f32"
+    inter.tofile(cap)
+    r = run("stream_rx", f"--in={cap}", "--sf=7", "--cr=4/8",
+            "--payload-bytes=16", "--framed")
+    assert r.returncode == 0, r.stderr.decode()
+    lines = [l.split() for l in r.stdout.decode().splitlines() if l]
+    assert len(lines) == 2
+    assert lines[0][2] == bytes(pays[0]).hex().upper()
+    assert lines[1][2] == bytes(pays[1]).hex().upper()
+    assert "len=5" in " ".join(lines[0]) and "len=12" in " ".join(lines[1])
+
+
+def test_awgn_sweep_theory_column(tmp_path):
+    out = tmp_path / "sweep.csv"
+    r = run("awgn_sweep", "--sf=7", "--snr-start=-9", "--snr-stop=-8",
+            "--snr-step=1", "--packets=50", "--theory", f"--out={out}")
+    assert r.returncode == 0, r.stderr.decode()
+    head, *rows = out.read_text().splitlines()
+    assert head.endswith(",ser_theory")
+    assert len(rows) == 2 and all(len(x.split(",")) == 6 for x in rows)
