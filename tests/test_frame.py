@@ -190,3 +190,23 @@ def test_whitening_actually_applied():
     sym = np.asarray(frame.encode_frame(payload, params))
     body = sym[8:]
     assert np.count_nonzero(body) > body.size // 2
+
+
+def test_frame_wire_format_golden():
+    """The on-air frame format is a wire contract: fixed payload 01..08
+    must produce these exact symbol sequences (any change to header
+    layout, whitening keys, interleaving, Gray direction or FEC order
+    breaks interop with previously recorded captures)."""
+    payload = np.arange(1, 9, dtype=np.uint8)
+    want_sf7_cr48 = [28, 60, 0, 64, 56, 108, 56, 124, 14, 125, 74, 85, 13,
+                     20, 66, 113, 113, 92, 0, 108, 67, 126, 93, 23, 105,
+                     52, 35, 117, 120, 58, 82, 79]
+    got = np.asarray(frame.encode_frame(payload,
+                                        LoraParams(sf=7, cr="4/8")))
+    np.testing.assert_array_equal(got, want_sf7_cr48)
+
+    want_sf9_cr45 = [224, 140, 64, 220, 12, 72, 480, 236, 451, 415, 258,
+                     357, 272, 183, 93, 28, 424, 110]
+    got9 = np.asarray(frame.encode_frame(payload,
+                                         LoraParams(sf=9, cr="4/5")))
+    np.testing.assert_array_equal(got9, want_sf9_cr45)
