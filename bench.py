@@ -89,8 +89,10 @@ def make_loop(params: L.LoraParams):
     @jax.jit
     def loop(symbols, iters):
         def body(_, syms):
-            re, im = L.modulate(syms, params)
-            dr, di = L.dechirp(re, im, params)
+            # modulate -> external dechirp (fused into one producer write,
+            # exactly as XLA fuses the elementwise dechirp into the MXU
+            # TX epilogue on the jnp path — see PERF.md)
+            dr, di = L.modulate_dechirped(syms, params)
             res = L.demodulate_tones(dr, di, params)
             return res.symbols.astype(syms.dtype)
         out = lax.fori_loop(0, iters, body, symbols)

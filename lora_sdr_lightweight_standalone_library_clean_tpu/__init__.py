@@ -31,7 +31,7 @@ except Exception:  # pragma: no cover - cache is best-effort
 from .utils.config import LoraParams, Window, load_profiles, params_from_profile, STOCK_PROFILES
 from .utils import errors
 from .models.modem import (
-    encode, decode, modulate, demodulate, demodulate_wide,
+    encode, decode, modulate, modulate_dechirped, demodulate, demodulate_wide,
     estimate_offsets,
     compensate_offsets, dechirp, to_complex, from_complex, crc_sx1272,
     DemodResult, OffsetEstimate,

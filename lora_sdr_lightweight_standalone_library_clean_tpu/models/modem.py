@@ -37,7 +37,7 @@ from ..utils.errors import InvalidArgumentError, RangeError
 __all__ = [
     "DemodResult", "OffsetEstimate",
     "encode", "decode", "crc_sx1272",
-    "modulate", "demodulate", "demodulate_wide",
+    "modulate", "modulate_dechirped", "demodulate", "demodulate_wide",
     "estimate_offsets", "compensate_offsets",
     "window_table", "to_complex", "from_complex", "dechirp",
 ]
@@ -184,6 +184,25 @@ def modulate(symbols, params: LoraParams, amplitude: float = 1.0):
     Returns (re, im) float32 of shape (..., (S+2) * step).
     """
     return modulate_ri(symbols, params, amplitude)
+
+
+def modulate_dechirped(symbols, params: LoraParams, amplitude: float = 1.0):
+    """Modulate and dechirp in one pass: the producer chain of the
+    golden-vector / perf pipeline (modulate -> external dechirp,
+    tests/e2e_chain_test.cpp:79-93, tests/performance_test.cpp:112-125).
+
+    Equivalent to ``dechirp(*modulate(...))`` (detection-identical;
+    last-ULP IQ differences only, tests/test_pallas.py); on TPU at
+    osr == 1, N <= 512 the down-chirp multiply folds into the Pallas TX
+    kernel's per-sample constant so the pre-dechirped stream is written
+    once instead of written-read-written (ops/pallas_tx.py).
+    """
+    from ..ops.pallas_tx import tx_supported, tx_tone_synth
+    if tx_supported(params.n, params.osr):
+        from ..ops.chirp import _with_sync_prelude
+        allsyms = _with_sync_prelude(jnp.asarray(symbols, jnp.int32), params)
+        return tx_tone_synth(allsyms, params, amplitude, dechirp=True)
+    return dechirp(*modulate(symbols, params, amplitude), params)
 
 
 # ---------------------------------------------------------------------------

@@ -126,20 +126,23 @@ def modulate_ri(symbols, params: LoraParams, amplitude: float = 1.0,
     packet-wide exactly-carried phase.  Batched over any leading axes of
     ``symbols``.
 
-    ``method``: 'auto' picks the XLA MXU tone-matmul synthesis at osr == 1
-    and the closed-form VPU phases otherwise; 'vpu' / 'mxu' / 'pallas'
-    force a path ('pallas' = the fused row-major TX kernel,
-    ops/pallas_tx.py — standalone-verified bit-exact on chip, but kept
-    opt-in: composing it with the Pallas RX kernel in one while-loop wedges
-    the tunnel's AOT compile, see PERF.md).  All are float32 roundings of
-    the same exact integer phase; they differ only in last-ULP placement.
+    ``method``: 'auto' picks the fused row-major Pallas TX kernel
+    (ops/pallas_tx.py) where supported (TPU, osr == 1, N <= 512 — it
+    deletes the batch-minor->row-major relayout copies the XLA matmul
+    output otherwise pays, PERF.md), else the XLA MXU tone-matmul at
+    osr == 1, else the closed-form VPU phases; 'vpu' / 'mxu' / 'pallas'
+    force a path.  All are float32 roundings of the same exact integer
+    phase — detection-identical, last-ULP IQ differences only
+    (tests/test_pallas.py::test_tx_kernel_matches_mxu_modulate).
 
     Returns (re, im) float32 arrays of shape (..., (S+2) * n * osr).
     """
-    if method == "pallas":
-        from .pallas_tx import tx_tone_synth
-        allsyms = _with_sync_prelude(jnp.asarray(symbols, jnp.int32), params)
-        return tx_tone_synth(allsyms, params, amplitude)
+    if method in ("pallas", "auto"):
+        from .pallas_tx import tx_supported, tx_tone_synth
+        if method == "pallas" or tx_supported(params.n, params.osr):
+            allsyms = _with_sync_prelude(jnp.asarray(symbols, jnp.int32),
+                                         params)
+            return tx_tone_synth(allsyms, params, amplitude)
     if method == "mxu" or (method == "auto" and params.osr == 1):
         return _modulate_ri_mxu(symbols, params, amplitude)
     n, osr, bs = params.n, params.osr, params.bw_scale

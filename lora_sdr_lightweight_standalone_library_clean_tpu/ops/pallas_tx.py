@@ -16,8 +16,11 @@ perf pipeline (tests/performance_test.cpp:112-125) collapses into the same
 single write, exactly like XLA's own elementwise fusion, just without the
 layout thrash.
 
-Covers osr == 1 and n <= 512 (dense tone tables); other configurations use
-the XLA paths in ops/chirp.py.  Phase identity (ops/chirp.py:193-207): at
+Covers osr == 1 for all SFs: n <= 512 uses dense (n, n) tone tables; n >=
+1024 the two-digit factorization w^(t*m') = w1[t mod n1, m1] * w2[t, m2]
+(n2 = 128 lanes) assembled in VMEM (``_tx_kernel_factored``) — other
+configurations use the XLA paths in ops/chirp.py.  Phase identity
+(ops/chirp.py:193-207): at
 osr == 1, ``chirp_s[m] = sign_row * base[m] * w^(t m)`` with
 ``t = (s * bw_scale) mod n`` and ``sign_row = (-1)^row`` for odd bw_scale.
 """
@@ -32,18 +35,21 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .chirp import _tx_base_chirp, _tx_tone_tables, downchirp_ri
+from .chirp import (_tx_base_chirp, _tx_tone_tables,
+                    _tx_tone_tables_factored, downchirp_ri)
 from .pallas_rx import _round_up, _packets_per_tile
 
 __all__ = ["tx_supported", "tx_tone_synth"]
 
-PALLAS_TX_MAX_N = 512
+PALLAS_TX_MAX_N = 512            # dense (n, n) tone-table kernel
+PALLAS_TX_MAX_N_FACTORED = 4096  # factored kernel (n1 x 128 digit tables)
 
 
 def tx_supported(n: int, osr: int, platform: str | None = None) -> bool:
     if platform is None:
         platform = jax.default_backend()
-    return osr == 1 and n <= PALLAS_TX_MAX_N and platform not in ("cpu",)
+    return (osr == 1 and n <= PALLAS_TX_MAX_N_FACTORED
+            and platform not in ("cpu",))
 
 
 def _tx_kernel(tone_ref, wc_ref, ws_ref, mr_ref, mi_ref, re_ref, im_ref,
@@ -119,6 +125,125 @@ def _tx_call(tone, mult_r, mult_i, *, n: int, s_real: int, alt_sign: bool,
     return re[:b], im[:b]
 
 
+def _tx_kernel_factored(tone_ref, w1c_ref, w1s_ref, w2c_ref, w2s_ref,
+                        mr_ref, mi_ref, re_ref, im_ref, oh_scr, *,
+                        n: int, n1: int, n2: int, s_pad: int, s_real: int,
+                        p_tile: int, alt_sign: bool):
+    """Factored tone synthesis for n >= 1024 (one grid step = p_tile packets).
+
+    Output column q of symbol row s holds ``base[q] * w^(t*(q+1))`` with
+    ``w^(t*m') = w1[t mod n1, m1] * w2[t, m2]`` for the digits
+    ``m' = (q+1) mod n = m1*n2 + m2``.  Lane j of block m1 covers
+    q = m1*n2 + j, i.e. m' = m1*n2 + (j+1): the column-rolled table
+    ``w2s[t, j] = w2[t, (j+1) mod n2]`` supplies the m2 digit and the last
+    lane (j = n2-1, where m' = (m1+1)*n2 + 0) takes its w1 factor from
+    column (m1+1) mod n1 — the in-VMEM form of the jnp path's digit-order
+    build + roll(-1) (ops/chirp.py::_modulate_ri_mxu), with no HBM roll
+    pass and no relayout.
+
+    tone_ref: (P, s_pad, 1) int32 tones; w1c/w1s: (npad1, n1) tables
+    indexed by (t mod n1) one-hot over npad1 = 128 lanes; w2c/w2s:
+    (n, n2) column-rolled tone tables; mr/mi: (n1, n2) combined
+    base-chirp * amplitude (* down-chirp) constant laid out by output
+    position q.  re/im: (P, s_real, n1, n2) row-major outputs (bitcast to
+    (P, s_real*n) outside).
+    """
+    lane_n = lax.broadcasted_iota(jnp.int32, (s_pad, n), 1)
+    lane_1 = lax.broadcasted_iota(jnp.int32, (s_pad, 128), 1)
+    last = lax.broadcasted_iota(jnp.int32, (s_pad, n2), 1) == (n2 - 1)
+    if alt_sign:
+        srow = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+        sgn = jnp.where(lax.rem(srow, 2) == 1, -1.0, 1.0)
+    for p in range(p_tile):
+        t = tone_ref[p]                                  # (s_pad, 1)
+        oh_scr[...] = (lane_n == t).astype(jnp.float32)
+        f2c = jnp.dot(oh_scr[...], w2c_ref[...],
+                      preferred_element_type=jnp.float32)   # (s_pad, n2)
+        f2s = jnp.dot(oh_scr[...], w2s_ref[...],
+                      preferred_element_type=jnp.float32)
+        oh1 = (lane_1 == lax.rem(t, n1)).astype(jnp.float32)
+        f1c = jnp.dot(oh1, w1c_ref[...],
+                      preferred_element_type=jnp.float32)   # (s_pad, n1)
+        f1s = jnp.dot(oh1, w1s_ref[...],
+                      preferred_element_type=jnp.float32)
+        for m1 in range(n1):
+            m1n = (m1 + 1) % n1
+            gc = jnp.where(last, f1c[:, m1n:m1n + 1], f1c[:, m1:m1 + 1])
+            gs = jnp.where(last, f1s[:, m1n:m1n + 1], f1s[:, m1:m1 + 1])
+            tc = gc * f2c - gs * f2s                     # (s_pad, n2)
+            ts = gc * f2s + gs * f2c
+            mr = mr_ref[m1][None, :]
+            mi = mi_ref[m1][None, :]
+            re = tc * mr - ts * mi
+            im = ts * mr + tc * mi
+            if alt_sign:
+                re = re * sgn
+                im = im * sgn
+            re_ref[p, :, m1, :] = re[:s_real]
+            im_ref[p, :, m1, :] = im[:s_real]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "s_real", "alt_sign", "interpret"))
+def _tx_call_factored(tone, mult_r, mult_i, *, n: int, s_real: int,
+                      alt_sign: bool, interpret: bool):
+    n2 = 128
+    n1 = n // n2
+    b = tone.shape[0]
+    s_pad = _round_up(s_real, 8)
+    p_tile = max(1, 4096 // n)
+    b_pad = _round_up(b, p_tile)
+    if b_pad != b:
+        tone = jnp.pad(tone, ((0, b_pad - b), (0, 0)))
+    if s_pad != s_real:
+        tone = jnp.pad(tone, ((0, 0), (0, s_pad - s_real)))
+    tone3 = tone.reshape(b_pad, s_pad, 1)
+
+    w1c, w1s, w2c, w2s = (np.asarray(a)
+                          for a in _tx_tone_tables_factored(n, n2))
+    # pad the (n1, n1) w1 tables to 128 one-hot rows; roll w2 columns so
+    # lane j carries the m2 = (j+1) mod n2 digit (see kernel docstring)
+    w1c_p = np.zeros((128, n1), np.float32)
+    w1s_p = np.zeros((128, n1), np.float32)
+    w1c_p[:n1] = w1c
+    w1s_p[:n1] = w1s
+    w2c_r = np.roll(w2c, -1, axis=1)
+    w2s_r = np.roll(w2s, -1, axis=1)
+
+    grid = b_pad // p_tile
+    kernel = functools.partial(_tx_kernel_factored, n=n, n1=n1, n2=n2,
+                               s_pad=s_pad, s_real=s_real, p_tile=p_tile,
+                               alt_sign=alt_sign)
+    tone_spec = pl.BlockSpec((p_tile, s_pad, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((128, n1), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((n, n2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    mult_spec = pl.BlockSpec((n1, n2), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((p_tile, s_real, n1, n2),
+                            lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    re, im = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[tone_spec, w1_spec, w1_spec, w2_spec, w2_spec,
+                  mult_spec, mult_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, s_real, n1, n2), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, s_real, n1, n2), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((s_pad, n), jnp.float32)],
+        interpret=interpret,
+    )(tone3, jnp.asarray(w1c_p), jnp.asarray(w1s_p),
+      jnp.asarray(w2c_r), jnp.asarray(w2s_r),
+      mult_r.reshape(n1, n2), mult_i.reshape(n1, n2))
+    return (re[:b].reshape(b, s_real, n),
+            im[:b].reshape(b, s_real, n))
+
+
 def tx_tone_synth(symbols_with_sync, params, amplitude: float = 1.0,
                   dechirp: bool = False, *, interpret: bool = False):
     """Synthesize a packet's chirps (sync prelude included by the caller).
@@ -133,7 +258,7 @@ def tx_tone_synth(symbols_with_sync, params, amplitude: float = 1.0,
     Returns (re, im) float32 of shape (..., (S+2) * n), row-major.
     """
     n, bs = params.n, params.bw_scale
-    assert params.osr == 1 and n <= PALLAS_TX_MAX_N
+    assert params.osr == 1 and n <= PALLAS_TX_MAX_N_FACTORED
     amplitude = np.float32(np.clip(amplitude, -1.0, 1.0))  # LoRaMod.cpp:18
     sym = jnp.asarray(symbols_with_sync, jnp.int32)
     lead = sym.shape[:-1]
@@ -147,8 +272,9 @@ def tx_tone_synth(symbols_with_sync, params, amplitude: float = 1.0,
         dcr, dci = downchirp_ri(params.sf, bs)
         mr, mi = mr * dcr - mi * dci, mr * dci + mi * dcr
     alt_sign = bool((bs * n) % (2 * n))
-    re, im = _tx_call(tone, jnp.asarray(mr), jnp.asarray(mi),
-                      n=n, s_real=s_total, alt_sign=alt_sign,
-                      interpret=interpret)
+    call = _tx_call if n <= PALLAS_TX_MAX_N else _tx_call_factored
+    re, im = call(tone, jnp.asarray(mr), jnp.asarray(mi),
+                  n=n, s_real=s_total, alt_sign=alt_sign,
+                  interpret=interpret)
     out = lead + (s_total * n,)
     return re.reshape(out), im.reshape(out)

@@ -158,8 +158,13 @@ def stream_scan(iq_r, iq_i, params: LoraParams, mesh: Mesh | None = None,
 
     spec_in = P(*([None] * (iq_r.ndim - 1) + [axis]))
     spec_out = P(*([None] * (iq_r.ndim - 1) + [axis]))
+    # check_vma=False: the Pallas stream kernel's out_shape
+    # ShapeDtypeStructs carry no varying-manual-axes annotation, and the
+    # per-shard scan is trivially per-device (all outputs vary over
+    # ``axis``); opting out matches the old jax.experimental semantics.
     fn = shard_map(block_fn, mesh=mesh, in_specs=(spec_in, spec_in),
-                   out_specs=(spec_out, spec_out, spec_out))
+                   out_specs=(spec_out, spec_out, spec_out),
+                   check_vma=False)
     idx, p, pav = fn(iq_r, iq_i)
     return StreamScan(idx, p, pav)
 

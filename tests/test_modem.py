@@ -231,3 +231,18 @@ def test_jit_cache_stability():
     pipeline(re, im)
     pipeline(re + 0, im + 0)
     assert traces == 1
+
+
+def test_modulate_dechirped_equals_modulate_then_dechirp():
+    """The fused producer (modulate_dechirped) matches the two-step
+    modulate -> external dechirp chain on every backend; on TPU the
+    Pallas fused-dechirp variant is additionally covered by
+    tests/test_pallas.py::test_tx_kernel_matches_mxu_modulate."""
+    for sf in (7, 10):
+        p = L.LoraParams(sf=sf)
+        rng = np.random.default_rng(sf)
+        syms = rng.integers(0, 1 << sf, (3, 12)).astype(np.uint16)
+        fr, fi = L.modulate_dechirped(syms, p, amplitude=0.5)
+        dr, di = L.dechirp(*L.modulate(syms, p, amplitude=0.5), p)
+        np.testing.assert_allclose(np.asarray(fr), np.asarray(dr), atol=4e-6)
+        np.testing.assert_allclose(np.asarray(fi), np.asarray(di), atol=4e-6)

@@ -267,11 +267,13 @@ def test_wide_kernel_matches_jnp_wide(sf, bw, osr):
                                   np.asarray(want.sync_word))
 
 
-@pytest.mark.parametrize("sf", [7, 9])
+@pytest.mark.parametrize("sf", [7, 9, 11, 12])
 def test_tx_kernel_matches_mxu_modulate(sf):
     """The Pallas TX kernel reproduces the XLA MXU tone-matmul synthesis
     (same exact-integer-phase identity) bit-for-bit in detection and within
-    float tolerance in IQ, including the fused-dechirp variant."""
+    float tolerance in IQ, including the fused-dechirp variant.  sf <= 9
+    exercises the dense (n, n) tone-table kernel, sf >= 11 the factored
+    digit-table kernel (``_tx_kernel_factored``)."""
     from lora_sdr_lightweight_standalone_library_clean_tpu.ops.chirp import (
         modulate_ri, _with_sync_prelude, downchirp_ri)
     from lora_sdr_lightweight_standalone_library_clean_tpu.ops.pallas_tx \
