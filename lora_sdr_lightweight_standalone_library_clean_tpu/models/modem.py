@@ -542,8 +542,23 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
     rate = -TWO_PI * est.cfo / np.float32(n * osr)
 
     from ..ops.pallas_rx import wide_supported
-    use_kernel = backend == "pallas_rx" or (
-        backend == "auto" and wide_supported(n, osr, s_real=total))
+    # big (N*osr)-point configs (e.g. sf12/500 @ osr4 = 16384 bins) only
+    # fit VMEM for a bounded symbol count: chunk the symbol axis with a
+    # 1-symbol halo per side (|t_off| <= step, so a shifted window never
+    # reads past its neighbor; the per-window CFO phase offset from using
+    # chunk-local symbol indices is constant per window and cancels in
+    # |DFT|, so detections are unchanged)
+    chunk = 0
+    if backend in ("pallas_rx", "auto") and wide_supported(n, osr,
+                                                          s_real=8):
+        if wide_supported(n, osr, s_real=total):
+            chunk = total
+        else:
+            for c in (48, 32, 24, 16, 8, 6):
+                if c < total and wide_supported(n, osr, s_real=c + 2):
+                    chunk = c
+                    break
+    use_kernel = backend == "pallas_rx" or (backend == "auto" and chunk)
     win = window_table(n, params.window)
     if use_kernel:
         # fused full-rate kernel: the (N*osr)-point detection IS the
@@ -552,9 +567,28 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
         # reference windows the decimated grid; apply per decimated sample
         w = (np.repeat(win, osr) if win is not None
              else np.ones(step, np.float32))
-        d_idx, d_pow, d_pav = rx_window_detect(
-            iq_r, iq_i, jnp.clip(t_off, -step, step), rate, scale[..., 0],
-            jnp.asarray(w), jnp.zeros(step, jnp.float32), params, wide=True)
+        w = jnp.asarray(w)
+        zpad = jnp.zeros(step, jnp.float32)
+        tc = jnp.clip(t_off, -step, step)
+        chunk = chunk or total
+        if chunk >= total:
+            d_idx, d_pow, d_pav = rx_window_detect(
+                iq_r, iq_i, tc, rate, scale[..., 0], w, zpad, params,
+                wide=True)
+        else:
+            parts = []
+            for a in range(0, total, chunk):
+                b = min(a + chunk, total)
+                h0 = 1 if a > 0 else 0
+                h1 = 1 if b < total else 0
+                sl = slice((a - h0) * step, (b + h1) * step)
+                ci, cp, cv = rx_window_detect(
+                    iq_r[..., sl], iq_i[..., sl], tc, rate,
+                    scale[..., 0], w, zpad, params, wide=True)
+                parts.append(tuple(x[..., h0:h0 + (b - a)]
+                                   for x in (ci, cp, cv)))
+            d_idx, d_pow, d_pav = (jnp.concatenate(xs, axis=-1)
+                                   for xs in zip(*parts))
         from ..ops.detect import DetectResult
         z = jnp.zeros_like(d_pow)
         det = DetectResult(index=d_idx, power=d_pow, power_avg=d_pav,
