@@ -300,6 +300,47 @@ def bench_stream(params: L.LoraParams, n_packets: int = 64,
     return sr.shape[-1] / max(dt, 1e-9) / 1e6
 
 
+def bench_stream_rx_wide(sf: int = 9, bw: int = 250000, osr: int = 2,
+                         n_packets: int = 6, payload_bytes: int = 8) -> tuple:
+    """Msamples/s of the END-TO-END wide streaming receiver: scan +
+    candidate selection + extraction + demodulate_wide + decode on a
+    continuous BW-250/500 stream — the deployment-shaped capability the
+    reference cannot express at all (SURVEY §4.4.2).  Returns
+    (Msamples/s, recovered, planted)."""
+    from lora_sdr_lightweight_standalone_library_clean_tpu.parallel.receiver \
+        import receive_stream, packet_samples
+    params = L.LoraParams(sf=sf, bw=bw, osr=osr)
+    psyms = payload_bytes * 2
+    plen = packet_samples(params, psyms)
+    gap = plen + params.step
+    length = -((n_packets * gap + plen) // -4096) * 4096
+    rng = np.random.default_rng(5)
+    sr = rng.standard_normal(length).astype(np.float32) * 0.05
+    si = rng.standard_normal(length).astype(np.float32) * 0.05
+    payloads = rng.integers(0, 256, (n_packets, payload_bytes)).astype(np.uint8)
+    re, im = L.modulate(jnp.asarray(np.asarray(L.encode(payloads))), params)
+    re, im = np.asarray(re), np.asarray(im)
+    for k in range(n_packets):
+        g = 517 + k * gap
+        sr[g:g + plen] += re[k]
+        si[g:g + plen] += im[k]
+    sr_j, si_j = jnp.asarray(sr), jnp.asarray(si)
+
+    @jax.jit
+    def loop(r, i, iters):
+        def body(_, acc):
+            eps = acc.astype(jnp.float32) * 1e-30
+            pkts, _ = receive_stream(r + eps, i + eps, params,
+                                     payload_symbols=psyms,
+                                     max_packets=2 * n_packets)
+            return acc + jnp.sum(pkts.valid.astype(jnp.int32))
+        return lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    recovered = int(loop(sr_j, si_j, 1))
+    dt = slope_time(loop, (sr_j, si_j), iters_short=4)
+    return length / max(dt, 1e-9) / 1e6, recovered, n_packets
+
+
 def bench_mesh(profile: dict, dp: int, iters: int = 6):
     """Multi-device scaling rail (BASELINE.md target: >= 80% linear).
 
@@ -432,6 +473,17 @@ def main():
             except Exception as e:
                 print(f"stages {prof['name']}: FAILED "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    # wide streaming-RX rail: end-to-end BW-250 stream -> payloads
+    if not args.quick:
+        try:
+            wsps, rec, planted = bench_stream_rx_wide()
+            print(f"stream_rx_wide sf9_bw250_osr2: {wsps:,.0f} Msamples/s "
+                  f"end-to-end ({rec}/{planted} packets recovered)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"stream_rx_wide: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     # stream-scan rail (sf7, deployment stride = step/4)
     try:

@@ -69,24 +69,47 @@ def encode(payload, params: LoraParams | None = None):
     (LoRaEncoder.cpp:6-18).  Batched over leading axes."""
     del params  # sf/cr unused, mirroring LoRaEncoder.cpp:7
     p = jnp.asarray(payload, jnp.int32)
-    hi = codes_lut_enc84(p >> 4)
-    lo = codes_lut_enc84(p & 0xF)
+    hi = _ham84_encode(p >> 4)
+    lo = _ham84_encode(p & 0xF)
     sym = jnp.stack([hi, lo], axis=-1)
     return sym.reshape(p.shape[:-1] + (p.shape[-1] * 2,)).astype(jnp.uint16)
 
 
-@functools.lru_cache(maxsize=1)
-def _enc84_const():
-    return codes.HAMMING84_ENCODE_LUT.astype(np.int32)
+def _ham84_encode(nib):
+    """Arithmetic SX Hamming(8,4) encode (LoRaCodes.hpp:229-242): the four
+    parity equations as elementwise bit ops — gather-free (a 16-entry LUT
+    take costs more than the VPU XORs it replaces)."""
+    d0 = nib & 1
+    d1 = (nib >> 1) & 1
+    d2 = (nib >> 2) & 1
+    d3 = (nib >> 3) & 1
+    return ((nib & 0xF)
+            | ((d0 ^ d1 ^ d2) << 4)
+            | ((d1 ^ d2 ^ d3) << 5)
+            | ((d0 ^ d1 ^ d3) << 6)
+            | ((d0 ^ d2 ^ d3) << 7))
 
 
-def codes_lut_enc84(nib):
-    return jnp.take(jnp.asarray(_enc84_const()), nib, axis=0)
-
-
-@functools.lru_cache(maxsize=1)
-def _dec84_const():
-    return codes.HAMMING84_DECODE_LUT.astype(np.int32)
+def _ham84_decode(c):
+    """Arithmetic SX Hamming(8,4) decode with single-bit correction
+    (LoRaCodes.hpp:250-281): syndrome + the four correctable-flip selects
+    as elementwise bit ops.  Replaces the 256-entry LUT gather — measured
+    ~9x decode-stage speedup at sf7/8192 on TPU (the same gather cost
+    ops/detect.py:63-65 documents and avoids)."""
+    b0 = c & 1
+    b1 = (c >> 1) & 1
+    b2 = (c >> 2) & 1
+    b3 = (c >> 3) & 1
+    p0 = b0 ^ b1 ^ b2 ^ ((c >> 4) & 1)
+    p1 = b1 ^ b2 ^ b3 ^ ((c >> 5) & 1)
+    p2 = b0 ^ b1 ^ b3 ^ ((c >> 6) & 1)
+    p3 = b0 ^ b2 ^ b3 ^ ((c >> 7) & 1)
+    parity = p0 | (p1 << 1) | (p2 << 2) | (p3 << 3)
+    flip = (jnp.where(parity == 0xD, 1, 0)
+            | jnp.where(parity == 0x7, 2, 0)
+            | jnp.where(parity == 0xB, 4, 0)
+            | jnp.where(parity == 0xE, 8, 0))
+    return (c ^ flip) & 0xF
 
 
 @functools.lru_cache(maxsize=None)
@@ -110,7 +133,8 @@ def _crc_position_tables(n: int) -> np.ndarray:
 
 
 def _xor_reduce_last(x):
-    """XOR-reduce the last axis with a log-depth fold."""
+    """XOR-reduce the last axis with a log-depth fold (used by the
+    dynamic-length frame CRC, models/frame.py::crc_sx1272_at)."""
     n = x.shape[-1]
     while n > 1:
         half = n // 2
@@ -122,24 +146,46 @@ def _xor_reduce_last(x):
     return x[..., 0]
 
 
+@functools.lru_cache(maxsize=None)
+def _crc_bit_matrix(n: int) -> np.ndarray:
+    """(n*8, 16) GF(2) generator matrix of the n-byte SX1272 CRC.
+
+    Row ``k*8 + i`` holds the 16 CRC bits contributed by bit i of message
+    byte k, i.e. ``step^{n-1-k}(1 << i)`` — the step map is GF(2)-linear
+    in the state (LoRaCodes.hpp:69-79), so the whole CRC is one GF(2)
+    matrix-vector product.  float32 for the MXU."""
+    s = _crc_position_tables(n)                       # (n, 256)
+    rows = np.zeros((n * 8, 16), np.float32)
+    j = np.arange(16)
+    for k in range(n):
+        for i in range(8):
+            rows[k * 8 + i] = (int(s[n - 1 - k][1 << i]) >> j) & 1
+    return rows
+
+
 def crc_sx1272(data, length: int | None = None):
     """Batched SX1272 CRC-16 over the last axis (LoRaCodes.hpp:92-105).
 
-    GF(2)-linearity turns the reference's per-byte loop into one gather of
-    per-position tables plus a log-depth XOR fold — a 32-step sequential
-    scan measured ~20x slower than this on TPU (bench --stages).  The
-    length-dependent LFSR mask bytes are host constants
-    (codes.crc_mask_pair)."""
+    GF(2)-linearity turns the reference's per-byte loop into ONE MXU
+    matmul: message bits (..., n*8) x generator matrix (n*8, 16), reduced
+    mod 2.  Counts stay < 2^24 so float32 is exact.  Replaces the
+    per-position table gather of earlier rounds — gathers are the cost
+    ops/detect.py:63-65 documents; this form is ~8x cheaper at sf7/8192
+    on TPU and feeds the MXU instead.  The length-dependent LFSR mask
+    bytes are host constants (codes.crc_mask_pair)."""
     d = jnp.asarray(data, jnp.int32)
     n = d.shape[-1] if length is None else length
     m0, m1 = codes.crc_mask_pair(n)
     if n == 0:
         return jnp.full(d.shape[:-1], m0 ^ (m1 << 8), jnp.uint16)
-    s = _crc_position_tables(n)                       # (n, 256)
-    flat = jnp.asarray(s.reshape(-1).astype(np.int32))
-    ks = jnp.arange(n - 1, -1, -1, dtype=jnp.int32) * 256
-    contrib = jnp.take(flat, ks + d[..., :n], axis=0)
-    res = _xor_reduce_last(contrib)
+    bits = ((d[..., :n, None] >> jnp.arange(8, dtype=jnp.int32)) & 1)
+    bits = bits.reshape(d.shape[:-1] + (n * 8,)).astype(jnp.float32)
+    m = jnp.asarray(_crc_bit_matrix(n))
+    acc = jnp.einsum("...b,bj->...j", bits, m,
+                     preferred_element_type=jnp.float32)
+    crc_bits = acc.astype(jnp.int32) & 1                     # (..., 16)
+    weights = jnp.asarray(1 << np.arange(16, dtype=np.int32))
+    res = jnp.sum(crc_bits * weights, axis=-1)
     return (res ^ m0 ^ (m1 << 8)).astype(jnp.uint16)
 
 
@@ -156,8 +202,7 @@ def decode(symbols, params: LoraParams | None = None, *,
     if s.shape[-1] % 2 != 0:
         raise InvalidArgumentError(
             f"symbol count must be even, got {s.shape[-1]}")
-    lut = jnp.asarray(_dec84_const())
-    nib = jnp.take(lut, s & 0xFF, axis=0)
+    nib = _ham84_decode(s & 0xFF)
     hi = nib[..., 0::2] & 0xF
     lo = nib[..., 1::2] & 0xF
     payload = ((hi << 4) | lo).astype(jnp.uint8)
@@ -193,9 +238,10 @@ def modulate_dechirped(symbols, params: LoraParams, amplitude: float = 1.0):
 
     Equivalent to ``dechirp(*modulate(...))`` (detection-identical;
     last-ULP IQ differences only, tests/test_pallas.py); on TPU at
-    osr == 1, N <= 512 the down-chirp multiply folds into the Pallas TX
-    kernel's per-sample constant so the pre-dechirped stream is written
-    once instead of written-read-written (ops/pallas_tx.py).
+    osr == 1, N <= 4096 (dense tables to 512, factored digit tables above)
+    the down-chirp multiply folds into the Pallas TX kernel's per-sample
+    constant so the pre-dechirped stream is written once instead of
+    written-read-written (ops/pallas_tx.py).
     """
     from ..ops.pallas_tx import tx_supported, tx_tone_synth
     if tx_supported(params.n, params.osr):
@@ -549,15 +595,26 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
     # chunk-local symbol indices is constant per window and cancels in
     # |DFT|, so detections are unchanged)
     chunk = 0
-    if backend in ("pallas_rx", "auto") and wide_supported(n, osr,
-                                                          s_real=8):
-        if wide_supported(n, osr, s_real=total):
+    if backend in ("pallas_rx", "auto"):
+        # a forced kernel evaluates the VMEM model regardless of platform
+        # (it may run in interpret mode off-TPU); 'auto' also requires TPU
+        plat = "tpu" if backend == "pallas_rx" else None
+        if wide_supported(n, osr, platform=plat, s_real=total):
             chunk = total
         else:
             for c in (48, 32, 24, 16, 8, 6):
-                if c < total and wide_supported(n, osr, s_real=c + 2):
+                if c < total and wide_supported(n, osr, platform=plat,
+                                                s_real=c + 2):
                     chunk = c
                     break
+    if backend == "pallas_rx" and not chunk:
+        # forced kernel with no VMEM-fitting chunk: refuse instead of
+        # launching an oversized kernel the VMEM model just rejected
+        raise InvalidArgumentError(
+            f"backend='pallas_rx' but no symbol chunk of the "
+            f"{n * osr}-bin wide detection fits VMEM "
+            f"(ops/pallas_rx.py::wide_supported); use backend='auto' "
+            f"or 'jnp'")
     use_kernel = backend == "pallas_rx" or (backend == "auto" and chunk)
     win = window_table(n, params.window)
     if use_kernel:
@@ -570,7 +627,6 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
         w = jnp.asarray(w)
         zpad = jnp.zeros(step, jnp.float32)
         tc = jnp.clip(t_off, -step, step)
-        chunk = chunk or total
         if chunk >= total:
             d_idx, d_pow, d_pav = rx_window_detect(
                 iq_r, iq_i, tc, rate, scale[..., 0], w, zpad, params,

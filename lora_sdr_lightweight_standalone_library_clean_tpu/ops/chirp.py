@@ -127,7 +127,8 @@ def modulate_ri(symbols, params: LoraParams, amplitude: float = 1.0,
     ``symbols``.
 
     ``method``: 'auto' picks the fused row-major Pallas TX kernel
-    (ops/pallas_tx.py) where supported (TPU, osr == 1, N <= 512 — it
+    (ops/pallas_tx.py) where supported (TPU, osr == 1, N <= 4096: dense
+    tone tables to 512, factored digit tables above — it
     deletes the batch-minor->row-major relayout copies the XLA matmul
     output otherwise pays, PERF.md), else the XLA MXU tone-matmul at
     osr == 1, else the closed-form VPU phases; 'vpu' / 'mxu' / 'pallas'

@@ -35,7 +35,7 @@ PALLAS_MAX_N = 512
 def pallas_supported(n: int, platform: str | None = None) -> bool:
     if platform is None:
         platform = jax.default_backend()
-    return n <= PALLAS_MAX_N and platform not in ("cpu",)
+    return n <= PALLAS_MAX_N and platform == "tpu"
 
 
 def _detect_kernel(zr_ref, zi_ref, rate_ref, start_ref, c_ref, s_ref,

@@ -92,7 +92,7 @@ def rx_supported(n: int, osr: int, platform: str | None = None,
     """True when the fused kernel covers this (decimated) configuration."""
     if platform is None:
         platform = jax.default_backend()
-    return (osr <= 8 and n <= PALLAS_RX_MAX_N and platform not in ("cpu",)
+    return (osr <= 8 and n <= PALLAS_RX_MAX_N and platform == "tpu"
             and _vmem_ok(n, osr, s_real))
 
 
@@ -101,7 +101,7 @@ def wide_supported(n: int, osr: int, platform: str | None = None,
     """True when the full-rate wide detection (n*osr bins) fits the kernel."""
     if platform is None:
         platform = jax.default_backend()
-    return (n * osr <= PALLAS_RX_MAX_WIDE and platform not in ("cpu",)
+    return (n * osr <= PALLAS_RX_MAX_WIDE and platform == "tpu"
             and _vmem_ok(n * osr, 1, s_real))
 
 

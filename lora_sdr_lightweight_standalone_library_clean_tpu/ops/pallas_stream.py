@@ -56,7 +56,7 @@ def stream_supported(n: int, osr: int, step: int, stride: int,
     """True when the fused streaming kernel covers this configuration."""
     if platform is None:
         platform = jax.default_backend()
-    if platform in ("cpu",):
+    if platform != "tpu":
         return False
     if n > PALLAS_STREAM_MAX_N:
         return False
@@ -204,8 +204,10 @@ def stream_window_detect(ext_r, ext_i, params, stride: int, windows: int,
     n, osr = params.n, params.osr
     assert ext_r.ndim == 1, "stream kernel is 1D; batch via vmap/fallback"
     if dcr is None:
-        from .chirp import downchirp_ri
-        dcr, dci = downchirp_ri(params.sf, params.bw_scale)
+        # decimated full-rate down-chirp: exact integer-bin tones on the
+        # phase-0 grid at every osr (parallel/streaming.py::_scan_downchirp)
+        from ..parallel.streaming import _scan_downchirp
+        dcr, dci = _scan_downchirp(params)
     if osr > 1:
         ext_r = ext_r[::osr]                          # phase-0 decimation
         ext_i = ext_i[::osr]

@@ -49,7 +49,7 @@ def tx_supported(n: int, osr: int, platform: str | None = None) -> bool:
     if platform is None:
         platform = jax.default_backend()
     return (osr == 1 and n <= PALLAS_TX_MAX_N_FACTORED
-            and platform not in ("cpu",))
+            and platform == "tpu")
 
 
 def _tx_kernel(tone_ref, wc_ref, ws_ref, mr_ref, mi_ref, re_ref, im_ref,

@@ -30,6 +30,12 @@ Everything is jittable with static shapes: ``max_packets`` bounds the
 per-chunk recovery (extra detections are dropped deterministically — the
 *earliest* starts win), ``payload_symbols`` fixes the packet length, and
 absent packets are masked by ``valid``.
+
+At bw_scale > 1 (BW-250/500) the extracted packets decode through the
+injective wide receiver (``demodulate_wide``, auto-enabled when
+osr >= bw_scale) — the reference's own decimating detector cannot
+round-trip those profiles at all (SURVEY §4.4.2), so this is the
+deployment-shaped form of the capability it lacks twice over.
 """
 from __future__ import annotations
 
@@ -41,10 +47,11 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh
 
-from ..models.modem import decode, dechirp
+from ..models.modem import decode, dechirp, demodulate_wide
 from ..models.tones import demodulate_tones
 from ..models import frame as frame_codec
 from ..utils.config import LoraParams
+from ..utils.errors import InvalidArgumentError
 from .streaming import stream_scan, find_packet_starts
 
 __all__ = ["StreamRxState", "RecoveredPackets", "RecoveredFrames",
@@ -115,9 +122,47 @@ def stream_frames_init(params: LoraParams, max_payload_len: int,
     return stream_rx_init(params, s_max)
 
 
+def _resolve_wide(params: LoraParams, wide: bool | None) -> bool:
+    """Resolve the ``wide`` mode flag of the streaming receivers.
+
+    ``None`` auto-enables the injective wide receiver exactly when it is
+    both needed and possible: bw_scale > 1 (the reference's decimating
+    detector loses the top log2(bw_scale) symbol bits there, SURVEY
+    §4.4.2) and osr >= bw_scale (the waveform is injective).  ``True``
+    forces it (raising when osr is insufficient); ``False`` keeps the
+    reference-faithful decimating tones path.
+    """
+    if wide is None:
+        return params.bw_scale > 1 and params.osr >= params.bw_scale
+    if wide and params.osr < params.bw_scale:
+        raise InvalidArgumentError(
+            f"wide streaming RX needs osr >= bw_scale "
+            f"({params.osr} < {params.bw_scale})")
+    return wide
+
+
+def _default_stride(params: LoraParams, wide: bool) -> int:
+    """Default scan stride: a quarter symbol, shrunk by bw_scale in wide
+    mode so the sync-bin misalignment residue stays within +-n/4 bins —
+    unambiguous under the signed mod-n readout of find_packet_starts (a
+    bs-scaled chirp shifts bs bins per decimated sample, so a quarter-
+    symbol misalignment at bw_scale 4 would wrap the full spectrum)."""
+    div = 4 * (params.bw_scale if wide else 1)
+    return max(params.step // div, 1)
+
+
+def _wide_max_mis(params: LoraParams, stride: int) -> int:
+    """Misalignment bound for wide-mode sync flags: a true start's nearest
+    window lies within stride/2, plus slack for +-1-bin residue rounding
+    (osr/bs samples per bin).  Kills period-n*osr/bs aliases
+    (streaming.find_packet_starts docstring)."""
+    return stride // 2 + max(8, 4 * params.osr // params.bw_scale)
+
+
 def _owned_starts(ext_r, ext_i, chunk_len: int, plen: int,
                   params: LoraParams, mesh, axis: str, stride: int,
-                  power_gate_db: float, max_packets: int):
+                  power_gate_db: float, max_packets: int,
+                  dedupe_tol: int = 2, max_mis: int | None = None):
     """Scan [tail | chunk] and pick this chunk's owned packet starts.
 
     Ownership: corrected starts g with 0 < g <= chunk_len (ext coordinates
@@ -137,7 +182,9 @@ def _owned_starts(ext_r, ext_i, chunk_len: int, plen: int,
     si = jnp.pad(ext_i, (0, pad)) if pad else ext_i
     scan = stream_scan(sr, si, params, mesh=mesh, axis=axis, stride=stride)
     mask, start = find_packet_starts(scan, params, stride=stride,
-                                     power_gate_db=power_gate_db)
+                                     power_gate_db=power_gate_db,
+                                     dedupe_tol=dedupe_tol,
+                                     max_mis=max_mis)
     owned = mask & (start > 0) & (start <= chunk_len)
     sentinel = jnp.int32(ext_len + 1)
     cand = jnp.where(owned, start, sentinel)
@@ -154,6 +201,7 @@ def receive_stream(iq_r, iq_i, params: LoraParams, *,
                    mesh: Mesh | None = None, axis: str = "sp",
                    stride: int | None = None,
                    power_gate_db: float = 5.0,
+                   wide: bool | None = None,
                    ) -> tuple[RecoveredPackets, StreamRxState]:
     """Recover every whole packet that completes inside this chunk.
 
@@ -165,18 +213,26 @@ def receive_stream(iq_r, iq_i, params: LoraParams, *,
         complete in a chunk, the earliest ``max_packets`` win.
       state: carried state from the previous chunk (None = stream start).
       mesh/axis: shard the sync scan over this mesh axis via shard_map.
-      stride: scan granularity in samples (default: a quarter symbol).
-        Packets at arbitrary sample offsets are recovered exactly: the
-        sync-bin shift measures the window misalignment, which corrects
-        the extraction to the true start.  Larger strides scan cheaper
-        but lose detection SNR (~3.5 dB at half-symbol misalignment).
+      stride: scan granularity in samples (default: a quarter symbol,
+        divided by bw_scale in wide mode).  Packets at arbitrary sample
+        offsets are recovered exactly: the sync-bin shift measures the
+        window misalignment, which corrects the extraction to the true
+        start.  Larger strides scan cheaper but lose detection SNR
+        (~3.5 dB at half-symbol misalignment).
+      wide: decode extracted packets through the injective full-rate
+        receiver (``demodulate_wide``) instead of the reference-faithful
+        decimating tones path — the BW-250/500 capability the reference
+        cannot express (its detector loses the top log2(bw_scale) symbol
+        bits, SURVEY §4.4.2; phy.cpp:206-208).  ``None`` (default)
+        auto-enables it when bw_scale > 1 and osr >= bw_scale.
 
     Returns:
       (RecoveredPackets, new StreamRxState).
     """
     step = params.step
+    wide = _resolve_wide(params, wide)
     if stride is None:
-        stride = max(step // 4, 1)
+        stride = _default_stride(params, wide)
     chunk_len = iq_r.shape[-1]
     if chunk_len % stride:
         raise ValueError(f"chunk length {chunk_len} not a multiple of "
@@ -196,10 +252,13 @@ def receive_stream(iq_r, iq_i, params: LoraParams, *,
 
     starts_c, valid, n_candidates = _owned_starts(
         ext_r, ext_i, chunk_len, plen, params, mesh, axis, stride,
-        power_gate_db, max_packets)
+        power_gate_db, max_packets,
+        dedupe_tol=max(2, params.osr) if wide else 2,
+        max_mis=_wide_max_mis(params, stride) if wide else None)
 
-    # --- per-packet demod + decode (the decodable tones path: external
-    # dechirp + lora_demodulate semantics, LoRaDemod.cpp:50-197) ---------
+    # --- per-packet demod + decode: the decodable tones path (external
+    # dechirp + lora_demodulate semantics, LoRaDemod.cpp:50-197), or the
+    # injective wide receiver at bw_scale > 1 ----------------------------
     def extract(p):
         pr = lax.dynamic_slice_in_dim(ext_r, p, plen, axis=-1)
         pi = lax.dynamic_slice_in_dim(ext_i, p, plen, axis=-1)
@@ -207,7 +266,7 @@ def receive_stream(iq_r, iq_i, params: LoraParams, *,
 
     pkt_r, pkt_i = jax.vmap(extract)(starts_c)      # (K, plen)
     dr, di = dechirp(pkt_r, pkt_i, params)
-    res = demodulate_tones(dr, di, params)
+    res = (demodulate_wide if wide else demodulate_tones)(dr, di, params)
     payload, crc_ok = decode(res.symbols)
 
     zero_payload = jnp.zeros_like(payload)
@@ -239,6 +298,7 @@ def receive_stream_frames(iq_r, iq_i, params: LoraParams, *,
                           mesh: Mesh | None = None, axis: str = "sp",
                           stride: int | None = None,
                           power_gate_db: float = 5.0,
+                          wide: bool | None = None,
                           ) -> tuple[RecoveredFrames, StreamRxState]:
     """Header-driven variable-length streaming RX.
 
@@ -255,12 +315,17 @@ def receive_stream_frames(iq_r, iq_i, params: LoraParams, *,
     lost or duplicated regardless of chunking.  Oversize frames (header
     advertising > max_payload_len) surface with ``hdr_ok == False``.
 
+    ``wide`` selects the injective full-rate receiver for the extracted
+    frames (see ``receive_stream``); ``None`` auto-enables it when
+    bw_scale > 1 and osr >= bw_scale.
+
     Returns (RecoveredFrames, new state) — state from
     ``stream_frames_init`` (or None at stream start).
     """
     step = params.step
+    wide = _resolve_wide(params, wide)
     if stride is None:
-        stride = max(step // 4, 1)
+        stride = _default_stride(params, wide)
     chunk_len = iq_r.shape[-1]
     if chunk_len % stride:
         raise ValueError(f"chunk length {chunk_len} not a multiple of "
@@ -278,7 +343,9 @@ def receive_stream_frames(iq_r, iq_i, params: LoraParams, *,
 
     starts_c, valid, n_candidates = _owned_starts(
         ext_r, ext_i, chunk_len, plen, params, mesh, axis, stride,
-        power_gate_db, max_packets)
+        power_gate_db, max_packets,
+        dedupe_tol=max(2, params.osr) if wide else 2,
+        max_mis=_wide_max_mis(params, stride) if wide else None)
 
     def extract(p):
         return (lax.dynamic_slice_in_dim(ext_r, p, plen, axis=-1),
@@ -286,7 +353,8 @@ def receive_stream_frames(iq_r, iq_i, params: LoraParams, *,
 
     pkt_r, pkt_i = jax.vmap(extract)(starts_c)      # (K, plen)
     dr, di = dechirp(pkt_r, pkt_i, params)
-    res = demodulate_tones(dr, di, params)          # symbols: (K, s_max)
+    res = (demodulate_wide if wide else demodulate_tones)(dr, di, params)
+    # symbols: (K, s_max)
     dec = frame_codec.decode_frame_padded(res.symbols, params,
                                           max_payload_len, crc)
 

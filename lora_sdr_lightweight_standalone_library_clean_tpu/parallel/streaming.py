@@ -42,6 +42,24 @@ class StreamScan(NamedTuple):
     power_avg: jnp.ndarray
 
 
+def _scan_downchirp(params: LoraParams):
+    """Down-chirp for the decimated scan grid: the full-rate base
+    down-chirp sampled at the phase-0 decimation points.
+
+    At osr > 1 the osr=1 down-chirp is NOT the conjugate of the decimated
+    base up-chirp: the reference's genChirp phase at oversampled index
+    m = i*osr carries a residual linear term pi*bs*i/(N*osr) from its
+    m*(m+1) numerator (ops/chirp.py:63-91), so dechirping decimated
+    windows with the osr=1 chirp leaves a -bs*(osr-1)/(2*osr)-bin tone
+    offset — half a bin at bs=osr=2 — smearing every detection.  The
+    decimated full-rate down-chirp cancels the phase exactly (wrap terms
+    contribute whole turns on the phase-0 grid: W(i*osr) is a multiple of
+    osr), leaving a pure integer-bin tone (sym*bs) mod n.  At osr == 1
+    this IS downchirp_ri(sf, bs)."""
+    dcr, dci = downchirp_ri(params.sf, params.bw_scale, params.osr)
+    return dcr[::params.osr], dci[::params.osr]
+
+
 def _stride_windows(ext, total: int, step: int, stride: int, n: int,
                     osr: int):
     """All stride-aligned decimated windows of ``ext`` — gather-free.
@@ -98,7 +116,7 @@ def _scan_block(iq_r, iq_i, halo_r, halo_i, params: LoraParams, stride: int,
                                     total // stride)
     zr = _stride_windows(ext_r, total, step, stride, n, osr)
     zi = _stride_windows(ext_i, total, step, stride, n, osr)
-    dcr, dci = downchirp_ri(params.sf, params.bw_scale)
+    dcr, dci = _scan_downchirp(params)
     dcr = jnp.asarray(dcr)
     dci = jnp.asarray(dci)
     fr = zr * dcr - zi * dci
@@ -206,7 +224,8 @@ def find_packet_starts(scan: StreamScan, params: LoraParams,
                        stride: int | None = None,
                        power_gate_db: float = 5.0,
                        noise_floor_db: float = -200.0,
-                       dedupe_tol: int = 2):
+                       dedupe_tol: int = 2,
+                       max_mis: int | None = None):
     """Sync detection for packets at *arbitrary* sample offsets.
 
     A chirp misaligned by ``d`` samples dechirps to a tone shifted by ``d``
@@ -229,6 +248,16 @@ def find_packet_starts(scan: StreamScan, params: LoraParams,
     bw_scale > 1 at osr == 1 the bin map is non-injective (the reference's
     own BW-250/500 round-trip defect, SURVEY §4.4.2) and recovery needs
     osr == bw_scale.
+
+    ``max_mis`` (samples) drops flags whose measured misalignment exceeds
+    it.  At bw_scale > 1 the bin residue is only unambiguous within
+    +-n*osr/(2*bs) samples: a window further than that from a true start
+    can pass the gate (large-SF processing gain) yet alias its corrected
+    position by a whole period, creating a duplicate recovery at a shifted
+    start.  A true start's *nearest* window sits within stride/2, so the
+    wide streaming receiver passes ``max_mis ~ stride/2 + slack`` — alias
+    windows reporting a small residue lie near a full period of true
+    misalignment, where the sync tone has decayed below the power gate.
 
     Returns:
       (keep, start): boolean mask over windows and int32 corrected start
@@ -255,10 +284,16 @@ def find_packet_starts(scan: StreamScan, params: LoraParams,
     diff = (idx_next - idx) % n
     flagged = strong & shift_back(strong, hop) & (diff == want_diff)
 
-    # misalignment from the first sync bin, as a signed mod-n residue
+    # misalignment from the first sync bin, as a signed mod-n residue;
+    # a decimated-grid chirp shifts bs/osr bins per oversampled sample,
+    # so d = d_bins * osr / bs — multiply BEFORE the floor division so
+    # the correction is sample-exact whenever bs divides osr * d_bins
+    # (all bw125 cases and the osr == bw_scale wide configs)
     d_bins = (idx - (sw0 * bs)) % n
     d_signed = jnp.where(d_bins > n // 2, d_bins - n, d_bins)
-    d_samples = (d_signed // bs) * params.osr
+    d_samples = (d_signed * params.osr) // bs
+    if max_mis is not None:
+        flagged = flagged & (jnp.abs(d_samples) <= max_mis)
     w = jnp.arange(idx.shape[-1], dtype=jnp.int32) * stride
     start = w - d_samples
 

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from .. import (LoraParams, receive_stream, receive_stream_frames,
                 stream_rx_init, packet_samples)
 from ..models import frame as frame_codec
-from ..parallel.receiver import stream_frames_init
+from ..parallel.receiver import (stream_frames_init, _resolve_wide,
+                                 _default_stride)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -47,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--max-packets", type=int, default=16,
                     help="recovery capacity per chunk")
     ap.add_argument("--power-gate-db", type=float, default=5.0)
+    ap.add_argument("--wide", choices=["auto", "on", "off"], default="auto",
+                    help="injective osr>=bw_scale receiver for BW-250/500 "
+                         "streams (demodulate_wide — the reference cannot "
+                         "decode these profiles at all); 'auto' enables it "
+                         "when bw_scale > 1 and osr >= bw_scale")
     return ap
 
 
@@ -63,13 +69,14 @@ def main(argv=None) -> int:
     iq_r = np.ascontiguousarray(f[0::2])
     iq_i = np.ascontiguousarray(f[1::2])
     params = LoraParams(sf=args.sf, bw=args.bw, cr=args.cr, osr=args.osr)
+    wide = {"auto": None, "on": True, "off": False}[args.wide]
     if args.framed:
         psyms = frame_codec.max_frame_symbols(params, args.payload_bytes)
     else:
         psyms = args.payload_bytes * 2
     plen = packet_samples(params, psyms)
 
-    stride = max(params.step // 4, 1)
+    stride = _default_stride(params, _resolve_wide(params, wide))
     chunk = max(args.chunk, plen) // stride * stride
     # pad the capture to whole chunks so trailing packets complete
     total = ((iq_r.size + plen + chunk - 1) // chunk) * chunk
@@ -86,12 +93,12 @@ def main(argv=None) -> int:
             pkts, state = receive_stream_frames(
                 cr_, ci_, params, max_payload_len=args.payload_bytes,
                 max_packets=args.max_packets, state=state,
-                power_gate_db=args.power_gate_db)
+                power_gate_db=args.power_gate_db, wide=wide)
         else:
             pkts, state = receive_stream(
                 cr_, ci_, params, payload_symbols=psyms,
                 max_packets=args.max_packets, state=state,
-                power_gate_db=args.power_gate_db)
+                power_gate_db=args.power_gate_db, wide=wide)
         valid = np.asarray(pkts.valid)
         for k in np.nonzero(valid)[0]:
             if args.framed:

@@ -10,6 +10,14 @@ import sys
 
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
     " --xla_force_host_platform_device_count=8"
+# Keep the remote-TPU (axon) backend from ever initializing: the harness
+# env pins JAX_PLATFORMS to the tunnel platform, and with only the
+# jax.config override the tunnel backend still spins up, adding minutes
+# of per-test stalls (and hanging a run outright on a dropped
+# connection).  Overriding the env var before any backend initializes
+# keeps the whole suite on the local CPU platform (measured ~8x faster
+# per test on this box).
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 

@@ -26,6 +26,7 @@ def rng_bytes(n, seed=0):
 CR_BY_RDD = {1: "4/5", 2: "4/6", 3: "4/7", 4: "4/8"}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sf", [7, 8, 9, 10, 11, 12])
 @pytest.mark.parametrize("rdd", [1, 2, 3, 4])
 def test_roundtrip_all_sf_cr(sf, rdd):

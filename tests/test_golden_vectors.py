@@ -52,6 +52,7 @@ def test_hamming_golden():
             assert bool(err) == rec["err"]
 
 
+@pytest.mark.slow
 def test_sync_word_golden_records():
     recs = vectors.read_sync_word_tests(_need("sync_word_tests.bin"))
     assert len(recs) == 9

@@ -50,6 +50,7 @@ def test_e2e_chain(profile):
         np.testing.assert_array_equal(np.asarray(res.symbols)[0], exp)
 
 
+@pytest.mark.slow
 def test_modulate_mxu_matches_vpu():
     """The MXU tone-matmul synthesis (the osr==1 default) must agree with
     the closed-form VPU phases — both are float32 roundings of the same
@@ -76,6 +77,7 @@ def test_modulate_mxu_matches_vpu():
         assert float(jnp.max(jnp.abs(re2))) <= 0.25 + 1e-6
 
 
+@pytest.mark.slow
 def test_modulate_matches_sequential_oracle():
     """Vectorized closed-form phases vs the float32 sequential C emulation."""
     rng = np.random.default_rng(4)
@@ -144,6 +146,7 @@ def test_normalization_path():
     np.testing.assert_array_equal(np.asarray(dec)[0], payload)
 
 
+@pytest.mark.slow
 def test_batched_demod_consistency():
     """A batch of different packets demodulates identically to per-packet."""
     p = L.LoraParams(sf=8)

@@ -185,6 +185,7 @@ def test_demod_backend_pallas_interpret_equals_jnp():
     assert int(got.sync_word[0]) == int(want.sync_word[0])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sf,osr", [(7, 2), (7, 4), (9, 2), (10, 4)])
 def test_rx_kernel_osr_matches_jnp_path(sf, osr):
     """osr > 1: the kernel's in-VMEM phase select + decimated-domain shift
@@ -234,6 +235,7 @@ def test_rx_kernel_osr_matches_jnp_path(sf, osr):
                                rtol=1e-3, atol=0.05)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sf,bw,osr", [(9, 250000, 2), (12, 500000, 4)])
 def test_wide_kernel_matches_jnp_wide(sf, bw, osr):
     """demodulate_wide via the fused full-rate kernel (ndft = N*osr, up to
@@ -280,7 +282,8 @@ def test_tx_kernel_matches_mxu_modulate(sf):
         import tx_tone_synth
     p = L.LoraParams(sf=sf)
     rng = np.random.default_rng(sf)
-    syms = rng.integers(0, 256, (4, 10)).astype(np.uint16)
+    # full tone range so sf 11/12 exercise every w1/w2 digit-table row
+    syms = rng.integers(0, 1 << sf, (4, 10)).astype(np.uint16)
     wr, wi = modulate_ri(syms, p, amplitude=0.75, method="mxu")
     allsyms = _with_sync_prelude(jnp.asarray(syms, jnp.int32), p)
     gr, gi = tx_tone_synth(allsyms, p, amplitude=0.75, interpret=True)

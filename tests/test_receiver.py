@@ -105,6 +105,7 @@ def test_chunked_equals_single_shot():
     assert got[1][0] + PLEN > 8192
 
 
+@pytest.mark.slow
 @needs_8
 def test_sharded_scan_equals_unsharded():
     offsets = [512, 5003, 11777]
@@ -130,6 +131,7 @@ def test_noise_only_stream_recovers_nothing():
     assert not np.asarray(pkts.valid).any()
 
 
+@pytest.mark.slow
 def test_capacity_earliest_packets_win():
     """More packets than max_packets: the earliest ones are recovered and
     reported valid, deterministically."""

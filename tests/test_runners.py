@@ -20,6 +20,7 @@ def run(mod, *args, timeout=240):
         capture_output=True, text=False, cwd=REPO, env=ENV, timeout=timeout)
 
 
+@pytest.mark.slow
 def test_tx_rx_pipe(tmp_path):
     """tx hex -> IQ file -> rx hex roundtrip (tones path)."""
     payload = "DEADBEEFCAFEF00D"
@@ -43,6 +44,7 @@ def test_tx_stdout_rx_stdin(tmp_path):
     assert r2.stdout.decode().strip() == "0011AA"
 
 
+@pytest.mark.slow
 def test_lorawan_roundtrip_runner():
     """5 random payload roundtrips (tests/lorawan_roundtrip.py:13-22)."""
     rng = np.random.default_rng(21)
@@ -137,6 +139,7 @@ def test_awgn_sweep_runner(tmp_path):
     assert vals[-1][3] < 0.05    # PER ~0 at -4 dB
 
 
+@pytest.mark.slow
 def test_stream_rx_runner(tmp_path):
     """stream_rx CLI: multi-packet capture at arbitrary offsets -> one
     line per packet with position, CRC verdict and payload."""
@@ -182,6 +185,7 @@ def test_stream_rx_runner(tmp_path):
         assert payload_hex == bytes(pl).hex().upper()
 
 
+@pytest.mark.slow
 def test_framed_tx_rx_pipe(tmp_path):
     """tx --framed -> IQ -> rx --framed: the full SX1272 coded frame
     (explicit header + whitening + FEC + interleave + Gray + CRC) over the
@@ -198,6 +202,7 @@ def test_framed_tx_rx_pipe(tmp_path):
     assert "crc_ok=True" in r.stderr.decode()
 
 
+@pytest.mark.slow
 def test_framed_vector_dump(tmp_path):
     """--framed stage dump decodes back to the seeded payload."""
     out = tmp_path / "dump"
@@ -210,6 +215,7 @@ def test_framed_vector_dump(tmp_path):
     assert (dec[:pay.size] == pay).all()
 
 
+@pytest.mark.slow
 def test_framed_stream_rx_runner(tmp_path):
     """stream_rx --framed recovers mixed-length frames from a capture."""
     import lora_sdr_lightweight_standalone_library_clean_tpu as L
@@ -250,3 +256,49 @@ def test_awgn_sweep_theory_column(tmp_path):
     head, *rows = out.read_text().splitlines()
     assert head.endswith(",ser_theory")
     assert len(rows) == 2 and all(len(x.split(",")) == 6 for x in rows)
+
+
+@pytest.mark.slow
+def test_wide_stream_rx_runner(tmp_path):
+    """stream_rx CLI on a BW-250@osr2 capture: the --wide path (auto)
+    decodes the profiles the reference's own chain cannot round-trip."""
+    import jax.numpy as jnp
+
+    import lora_sdr_lightweight_standalone_library_clean_tpu as L
+    from lora_sdr_lightweight_standalone_library_clean_tpu.models.modem import (
+        crc_sx1272)
+
+    p = L.LoraParams(sf=9, bw=250000, osr=2)
+    rng = np.random.default_rng(9)
+
+    def crc_frame(body):
+        crc = int(np.asarray(crc_sx1272(jnp.asarray(body[2:]))))
+        return np.concatenate([body, [crc & 0xFF, crc >> 8]]).astype(np.uint8)
+
+    n_samp = 65536
+    sr = rng.standard_normal(n_samp).astype(np.float32) * 0.03
+    si = rng.standard_normal(n_samp).astype(np.float32) * 0.03
+    offsets = (997, 30011)
+    payloads = []
+    for g in offsets:
+        pl = crc_frame(rng.integers(0, 256, 6).astype(np.uint8))
+        payloads.append(pl)
+        re, im = L.modulate(L.encode(pl[None]), p)
+        sr[g:g + re.shape[-1]] += np.asarray(re)[0]
+        si[g:g + re.shape[-1]] += np.asarray(im)[0]
+    iq = np.empty(2 * n_samp, np.float32)
+    iq[0::2] = sr
+    iq[1::2] = si
+    cap = tmp_path / "capture.f32"
+    iq.tofile(cap)
+
+    r = run("stream_rx", f"--in={cap}", "--sf=9", "--bw=250000", "--osr=2",
+            "--payload-bytes=8", "--chunk=32768")
+    assert r.returncode == 0, r.stderr.decode()
+    lines = r.stdout.decode().strip().splitlines()
+    assert len(lines) == 2
+    for line, g, pl in zip(lines, offsets, payloads):
+        start, crc_ok, payload_hex = line.split()
+        assert int(start) == g
+        assert crc_ok == "1"
+        assert payload_hex == bytes(pl).hex().upper()

@@ -52,6 +52,7 @@ def test_all_profiles_payload_roundtrip(profile):
     assert sync == params.sync_word
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sf,bw,osr", [(9, 250000, 2), (12, 500000, 4)])
 def test_wide_roundtrip_with_impairments(sf, bw, osr):
     """Wide receiver under AWGN + CFO + sub-sample time shift."""
