@@ -244,7 +244,7 @@ def modulate_dechirped(symbols, params: LoraParams, amplitude: float = 1.0):
     written-read-written (ops/pallas_tx.py).
     """
     from ..ops.pallas_tx import tx_supported, tx_tone_synth
-    if tx_supported(params.n, params.osr):
+    if tx_supported(params.n, params.osr, bw_scale=params.bw_scale):
         from ..ops.chirp import _with_sync_prelude
         allsyms = _with_sync_prelude(jnp.asarray(symbols, jnp.int32), params)
         return tx_tone_synth(allsyms, params, amplitude, dechirp=True)

@@ -140,7 +140,8 @@ def modulate_ri(symbols, params: LoraParams, amplitude: float = 1.0,
     """
     if method in ("pallas", "auto"):
         from .pallas_tx import tx_supported, tx_tone_synth
-        if method == "pallas" or tx_supported(params.n, params.osr):
+        if method == "pallas" or tx_supported(params.n, params.osr,
+                                              bw_scale=params.bw_scale):
             allsyms = _with_sync_prelude(jnp.asarray(symbols, jnp.int32),
                                          params)
             return tx_tone_synth(allsyms, params, amplitude)

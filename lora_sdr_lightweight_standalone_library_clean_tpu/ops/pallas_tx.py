@@ -45,11 +45,24 @@ PALLAS_TX_MAX_N = 512            # dense (n, n) tone-table kernel
 PALLAS_TX_MAX_N_FACTORED = 4096  # factored kernel (n1 x 128 digit tables)
 
 
-def tx_supported(n: int, osr: int, platform: str | None = None) -> bool:
+def tx_supported(n: int, osr: int, platform: str | None = None,
+                 bw_scale: int = 1) -> bool:
+    """True when the fused TX kernel covers this configuration.
+
+    osr == 1: all SFs (dense tables to 512, factored digit tables to 4096).
+    osr > 1: the chunked tone kernel (``_tx_call_osr``) over tone modulus
+    q = n*osr/bw_scale, gated to 128 <= q <= 4096 so the factored inner
+    m1 loop stays <= 32 unrolled blocks (covers both wide profiles:
+    sf9@250 osr2 -> q = 512 dense, sf12@500 osr4 -> q = 4096 factored).
+    """
     if platform is None:
         platform = jax.default_backend()
-    return (osr == 1 and n <= PALLAS_TX_MAX_N_FACTORED
-            and platform == "tpu")
+    if platform != "tpu":
+        return False
+    if osr == 1:
+        return n <= PALLAS_TX_MAX_N_FACTORED
+    q, rem = divmod(n * osr, bw_scale)
+    return rem == 0 and 128 <= q <= PALLAS_TX_MAX_N_FACTORED
 
 
 def _tx_kernel(tone_ref, wc_ref, ws_ref, mr_ref, mi_ref, re_ref, im_ref,
@@ -244,6 +257,233 @@ def _tx_call_factored(tone, mult_r, mult_i, *, n: int, s_real: int,
             im[:b].reshape(b, s_real, n))
 
 
+def _tx_osr_kernel(tone_ref, thr1_ref, thr2_ref, *rest, q: int,
+                   r_tile: int, gated: bool, factored: bool):
+    """One grid step = one packet's ``r_tile`` chunk rows (osr > 1).
+
+    Each output chunk row r = s*bw_scale + k holds samples
+    m = k*q+1 .. (k+1)*q of symbol s.  The exact integer phase factors as
+    (tests validate vs ops/chirp.py's closed form, derivation in
+    ``tx_tone_synth`` docstring)::
+
+        chirp[m] = mult_row[m''] * w^(t * m'') * wt[m'']^(g1 + g2)
+
+    with w = exp(2j*pi/q), tone t = sym mod q, m'' the within-chunk
+    sample, ``mult_row`` the static base-chirp/carry/amplitude(/down-chirp)
+    constant for row class (s mod carry period, k), wrap tone
+    wt[m] = exp(-2j*pi*bw_scale*m/osr) (chunk-independent because
+    bs*q/osr = n), and per-row gates g1: m > b - sym*osr,
+    g2: m > 2b - sym*osr (each frequency wrap of genChirp's accumulator,
+    ChirpGenerator.hpp:36,44, multiplies in one factor of wt; u^c terms
+    vanish because bs*sym and bs*n are integers).  ``gated`` is statically
+    False when osr | bs (wt == 1 identically, e.g. both wide profiles).
+
+    tone/thr1/thr2: (1, r_tile, 1) int32 per-row tone index and gate
+    thresholds in within-chunk lane units.
+    """
+    if factored:
+        (w1c_ref, w1s_ref, w2c_ref, w2s_ref, wtc_ref, wts_ref,
+         mr_ref, mi_ref, re_ref, im_ref, oh_scr) = rest
+        n1 = w1c_ref.shape[1]
+        n2 = 128
+    else:
+        (wc_ref, ws_ref, wtc_ref, wts_ref, mr_ref, mi_ref,
+         re_ref, im_ref, oh_scr) = rest
+    lane = lax.broadcasted_iota(jnp.int32, (r_tile, q), 1)
+    t = tone_ref[0]                                  # (r_tile, 1)
+    thr1 = thr1_ref[0]
+    thr2 = thr2_ref[0]
+
+    if not factored:
+        oh_scr[...] = (lane == t).astype(jnp.float32)
+        c = jnp.dot(oh_scr[...], wc_ref[...],
+                    preferred_element_type=jnp.float32)     # (r_tile, q)
+        s_ = jnp.dot(oh_scr[...], ws_ref[...],
+                     preferred_element_type=jnp.float32)
+        if gated:
+            wtc = wtc_ref[0][None, :]
+            wts = wts_ref[0][None, :]
+            for thr in (thr1, thr2):
+                g = lane >= thr
+                c, s_ = (jnp.where(g, c * wtc - s_ * wts, c),
+                         jnp.where(g, c * wts + s_ * wtc, s_))
+        mr = mr_ref[...]                             # (r_tile, q)
+        mi = mi_ref[...]
+        re_ref[0] = c * mr - s_ * mi
+        im_ref[0] = c * mi + s_ * mr
+        return
+
+    # factored tone synthesis over modulus q (512 < q <= 4096): identical
+    # digit assembly to _tx_kernel_factored (w2 columns pre-rolled, last
+    # lane takes w1 from column m1+1), plus the per-block gate/multiplier
+    lane_1 = lax.broadcasted_iota(jnp.int32, (r_tile, 128), 1)
+    lane_2 = lax.broadcasted_iota(jnp.int32, (r_tile, n2), 1)
+    last = lane_2 == (n2 - 1)
+    oh_scr[...] = (lane == t).astype(jnp.float32)
+    f2c = jnp.dot(oh_scr[...], w2c_ref[...],
+                  preferred_element_type=jnp.float32)       # (r_tile, n2)
+    f2s = jnp.dot(oh_scr[...], w2s_ref[...],
+                  preferred_element_type=jnp.float32)
+    oh1 = (lane_1 == lax.rem(t, n1)).astype(jnp.float32)
+    f1c = jnp.dot(oh1, w1c_ref[...],
+                  preferred_element_type=jnp.float32)       # (r_tile, n1)
+    f1s = jnp.dot(oh1, w1s_ref[...],
+                  preferred_element_type=jnp.float32)
+    for m1 in range(n1):
+        m1n = (m1 + 1) % n1
+        gc = jnp.where(last, f1c[:, m1n:m1n + 1], f1c[:, m1:m1 + 1])
+        gs = jnp.where(last, f1s[:, m1n:m1n + 1], f1s[:, m1:m1 + 1])
+        tc = gc * f2c - gs * f2s                     # (r_tile, n2)
+        ts = gc * f2s + gs * f2c
+        if gated:
+            base = m1 * n2
+            wtc = wtc_ref[0, base:base + n2][None, :]
+            wts = wts_ref[0, base:base + n2][None, :]
+            for thr in (thr1, thr2):
+                g = lane_2 >= (thr - base)
+                tc, ts = (jnp.where(g, tc * wtc - ts * wts, tc),
+                          jnp.where(g, tc * wts + ts * wtc, ts))
+        mr = mr_ref[:, m1 * n2:(m1 + 1) * n2]        # (r_tile, n2)
+        mi = mi_ref[:, m1 * n2:(m1 + 1) * n2]
+        re_ref[0, :, m1, :] = tc * mr - ts * mi
+        im_ref[0, :, m1, :] = tc * mi + ts * mr
+
+
+@functools.lru_cache(maxsize=None)
+def _tx_osr_mult(sf: int, bw_scale: int, osr: int, s_total: int,
+                 amplitude: float, dechirp: bool):
+    """(R, q) float32 multiplier rows: carry(s) * amp * base-chirp chunk
+    (* down-chirp chunk), R = s_total * bw_scale, computed exactly from
+    integer residues in float64.  Also returns (wtc, wts) (1, q) wrap
+    tone and whether gating is statically needed."""
+    n = 1 << sf
+    bs, nn = bw_scale, n * osr * 1
+    nn = n * osr
+    d = n * osr * osr
+    b = n * osr
+    q = nn // bs
+    m = np.arange(1, nn + 1, dtype=np.int64)
+    bnum = np.mod(bs * (m * (m + 1) - m * b), 2 * d)
+    base = amplitude * np.exp(1j * np.pi * bnum.astype(np.float64) / d)
+    if dechirp:
+        dcr, dci = downchirp_ri(sf, bs, osr)
+        base = base * (dcr.astype(np.float64) + 1j * dci.astype(np.float64))
+    # per-symbol carry: start-of-symbol numerator s*b*bs mod 2d
+    s_idx = np.arange(s_total, dtype=np.int64)
+    carry = np.exp(1j * np.pi
+                   * np.mod(s_idx * b * bs, 2 * d).astype(np.float64) / d)
+    mult = carry[:, None, None] * base.reshape(bs, q)[None]   # (S, bs, q)
+    mult = mult.reshape(s_total * bs, q)
+    gated = bs % osr != 0
+    wt = np.exp(-2j * np.pi * bs * m[:q].astype(np.float64) / osr)
+    return (np.ascontiguousarray(mult.real).astype(np.float32),
+            np.ascontiguousarray(mult.imag).astype(np.float32),
+            wt.real.astype(np.float32).reshape(1, q),
+            wt.imag.astype(np.float32).reshape(1, q),
+            gated)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sf", "osr", "bs", "s_total", "amplitude",
+                              "dechirp", "interpret"))
+def _tx_call_osr(symbols, *, sf: int, osr: int, bs: int, s_total: int,
+                 amplitude: float, dechirp: bool, interpret: bool):
+    """osr > 1 tone-synthesis kernel: (B, S) symbols -> (B, S*n*osr) IQ."""
+    n = 1 << sf
+    b_samp = n * osr
+    q = b_samp // bs
+    bcount = symbols.shape[0]
+    r_real = s_total * bs
+
+    # per-row tone index + gate thresholds (within-chunk lane units)
+    sym = symbols.astype(jnp.int32)                       # (B, S)
+    kq = (jnp.arange(bs, dtype=jnp.int32) * q)[None, None, :]
+    t_rows = jnp.broadcast_to(jnp.mod(sym, q)[..., None],
+                              sym.shape + (bs,))
+    thr1 = (b_samp - sym * osr)[..., None] - kq
+    thr2 = thr1 + b_samp
+    t_rows = t_rows.reshape(bcount, r_real)
+    thr1 = thr1.reshape(bcount, r_real)
+    thr2 = thr2.reshape(bcount, r_real)
+
+    rows_target = 128 if q <= 1024 else 64
+    n_r = -(-r_real // rows_target)
+    r_tile = _round_up(-(-r_real // n_r), 8)
+    r_pad = r_tile * n_r
+    if r_pad != r_real:
+        pad = ((0, 0), (0, r_pad - r_real))
+        t_rows = jnp.pad(t_rows, pad)
+        # padded rows: thresholds of 2*q gate nothing; mult rows are 0
+        thr1 = jnp.pad(thr1, pad, constant_values=2 * q)
+        thr2 = jnp.pad(thr2, pad, constant_values=2 * q)
+    t3 = t_rows.reshape(bcount, r_pad, 1)
+    thr1 = thr1.reshape(bcount, r_pad, 1)
+    thr2 = thr2.reshape(bcount, r_pad, 1)
+
+    mr_np, mi_np, wtc_np, wts_np, gated = _tx_osr_mult(
+        sf, bs, osr, s_total, float(amplitude), dechirp)
+    if r_pad != r_real:
+        zpad = ((0, r_pad - r_real), (0, 0))
+        mr_np = np.pad(mr_np, zpad)
+        mi_np = np.pad(mi_np, zpad)
+
+    factored = q > PALLAS_TX_MAX_N
+    row_spec = pl.BlockSpec((1, r_tile, 1), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    wt_spec = pl.BlockSpec((1, q), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    mult_spec = pl.BlockSpec((r_tile, q), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM)
+    if factored:
+        n2 = 128
+        n1 = q // n2
+        w1c, w1s, w2c, w2s = (np.asarray(a)
+                              for a in _tx_tone_tables_factored(q, n2))
+        w1c_p = np.zeros((128, n1), np.float32)
+        w1s_p = np.zeros((128, n1), np.float32)
+        w1c_p[:n1] = w1c
+        w1s_p[:n1] = w1s
+        tabs = [jnp.asarray(w1c_p), jnp.asarray(w1s_p),
+                jnp.asarray(np.roll(w2c, -1, axis=1)),
+                jnp.asarray(np.roll(w2s, -1, axis=1))]
+        tab_specs = [pl.BlockSpec((128, n1), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2 + \
+                    [pl.BlockSpec((q, n2), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        out_spec = pl.BlockSpec((1, r_tile, n1, n2),
+                                lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((bcount, r_pad, n1, n2),
+                                          jnp.float32)] * 2
+    else:
+        wc, ws = (jnp.asarray(a) for a in _tx_tone_tables(q))
+        tabs = [wc, ws]
+        tab_specs = [pl.BlockSpec((q, q), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        out_spec = pl.BlockSpec((1, r_tile, q), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((bcount, r_pad, q),
+                                          jnp.float32)] * 2
+
+    kernel = functools.partial(_tx_osr_kernel, q=q, r_tile=r_tile,
+                               gated=gated, factored=factored)
+    re, im = pl.pallas_call(
+        kernel,
+        grid=(bcount, n_r),
+        in_specs=[row_spec, row_spec, row_spec] + tab_specs
+                 + [wt_spec, wt_spec, mult_spec, mult_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((r_tile, q), jnp.float32)],
+        interpret=interpret,
+    )(t3, thr1, thr2, *tabs, jnp.asarray(wtc_np), jnp.asarray(wts_np),
+      jnp.asarray(mr_np), jnp.asarray(mi_np))
+    re = re.reshape(bcount, r_pad, q)[:, :r_real]
+    im = im.reshape(bcount, r_pad, q)[:, :r_real]
+    return (re.reshape(bcount, s_total * b_samp),
+            im.reshape(bcount, s_total * b_samp))
+
+
 def tx_tone_synth(symbols_with_sync, params, amplitude: float = 1.0,
                   dechirp: bool = False, *, interpret: bool = False):
     """Synthesize a packet's chirps (sync prelude included by the caller).
@@ -255,14 +495,32 @@ def tx_tone_synth(symbols_with_sync, params, amplitude: float = 1.0,
         IS the pre-dechirped stream (tests/e2e_chain_test.cpp:79-93's
         external dechirp, fused into the synthesis write).
 
-    Returns (re, im) float32 of shape (..., (S+2) * n), row-major.
+    Returns (re, im) float32 of shape (..., (S+2) * n * osr), row-major.
+
+    osr > 1 derivation (validated exactly vs ops/chirp.py's integer
+    numerators): with b = n*osr, d = n*osr^2, the accumulated phase
+    pi*bs*num(m)/d of ``chirp_phase_numerators`` splits per sample m into
+    a static base pi*bs*(m(m+1) - m*b)/d, a tone 2*pi*sym*m/q over modulus
+    q = b/bs, a wrap factor u^W(m) with u = exp(-2j*pi*bs/osr) and
+    W(m) = max(0, sym*osr + m - b) + max(0, sym*osr + m - 2b) (valid for
+    sym < 2n like the closed form), and a sym-independent per-symbol carry
+    exp(j*pi*bs*s/osr).  Because u^(sym*osr) = u^(-b) = 1, each active
+    wrap threshold contributes the same static tone u^m — two gated
+    multiplies, statically elided when osr | bs (both wide profiles).
     """
     n, bs = params.n, params.bw_scale
-    assert params.osr == 1 and n <= PALLAS_TX_MAX_N_FACTORED
+    assert tx_supported(n, params.osr, platform="tpu", bw_scale=bs)
     amplitude = np.float32(np.clip(amplitude, -1.0, 1.0))  # LoRaMod.cpp:18
     sym = jnp.asarray(symbols_with_sync, jnp.int32)
     lead = sym.shape[:-1]
     s_total = sym.shape[-1]
+    if params.osr > 1:
+        re, im = _tx_call_osr(
+            sym.reshape(-1, s_total), sf=params.sf, osr=params.osr, bs=bs,
+            s_total=s_total, amplitude=float(amplitude), dechirp=dechirp,
+            interpret=interpret)
+        out = lead + (s_total * n * params.osr,)
+        return re.reshape(out), im.reshape(out)
     tone = jnp.mod(sym * bs, n).reshape(-1, s_total)
 
     bc, bsn = _tx_base_chirp(n, bs)
