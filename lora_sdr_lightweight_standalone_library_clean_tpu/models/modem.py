@@ -237,11 +237,12 @@ def modulate_dechirped(symbols, params: LoraParams, amplitude: float = 1.0):
     tests/e2e_chain_test.cpp:79-93, tests/performance_test.cpp:112-125).
 
     Equivalent to ``dechirp(*modulate(...))`` (detection-identical;
-    last-ULP IQ differences only, tests/test_pallas.py); on TPU at
-    osr == 1, N <= 4096 (dense tables to 512, factored digit tables above)
-    the down-chirp multiply folds into the Pallas TX kernel's per-sample
+    last-ULP IQ differences only, tests/test_pallas.py); on TPU where
+    the Pallas TX kernel applies (osr == 1 with N <= 4096, or osr > 1
+    with tone modulus q = N*osr/bw_scale in [128, 4096] — both wide
+    profiles) the down-chirp multiply folds into the kernel's per-sample
     constant so the pre-dechirped stream is written once instead of
-    written-read-written (ops/pallas_tx.py).
+    written-read-written (ops/pallas_tx.py::tx_supported).
     """
     from ..ops.pallas_tx import tx_supported, tx_tone_synth
     if tx_supported(params.n, params.osr, bw_scale=params.bw_scale):

@@ -127,14 +127,18 @@ def modulate_ri(symbols, params: LoraParams, amplitude: float = 1.0,
     ``symbols``.
 
     ``method``: 'auto' picks the fused row-major Pallas TX kernel
-    (ops/pallas_tx.py) where supported (TPU, osr == 1, N <= 4096: dense
-    tone tables to 512, factored digit tables above — it
-    deletes the batch-minor->row-major relayout copies the XLA matmul
-    output otherwise pays, PERF.md), else the XLA MXU tone-matmul at
-    osr == 1, else the closed-form VPU phases; 'vpu' / 'mxu' / 'pallas'
-    force a path.  All are float32 roundings of the same exact integer
-    phase — detection-identical, last-ULP IQ differences only
-    (tests/test_pallas.py::test_tx_kernel_matches_mxu_modulate).
+    (ops/pallas_tx.py) where supported (TPU; osr == 1 up to N = 4096
+    with dense tone tables to 512 and factored digit tables above, or
+    osr > 1 via the gated wrap-tone factorization over tone modulus
+    q = N*osr/bw_scale in [128, 4096] — it deletes the
+    batch-minor->row-major relayout copies the XLA matmul output
+    otherwise pays and replaces the per-sample VPU trig at osr > 1,
+    PERF.md), else the XLA MXU tone-matmul at osr == 1, else the
+    closed-form VPU phases; 'vpu' / 'mxu' / 'pallas' force a path.  All
+    are float32 roundings of the same exact integer phase —
+    detection-identical, last-ULP IQ differences only
+    (tests/test_pallas.py::test_tx_kernel_matches_mxu_modulate,
+    ::test_tx_osr_kernel_matches_vpu_modulate).
 
     Returns (re, im) float32 arrays of shape (..., (S+2) * n * osr).
     """
