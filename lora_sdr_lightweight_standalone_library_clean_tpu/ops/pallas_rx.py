@@ -20,14 +20,15 @@ read of the stream plus three (B, S) vectors out.
 DFT strategy (ops/dft.py semantics, in-kernel — see ``_dft_mode``):
  * N <= 512 (dense): (N, N) cos/sin matrices; P packets' windows share one
    (P*S, N) x (N, N) complex matmul so the MXU sees full tiles even at SF7.
- * 1024 <= N <= 4096 (hybrid): log2(N/128) radix-2 DIF passes on the VPU —
+ * 1024 <= N <= 16384 (hybrid): log2(N/128) radix-2 DIF passes on the VPU —
    every roll/select is lane-tile aligned, no transposes — then ONE
    full-width (rows*N/128, 128) x (128, 128) MXU matmul over all blocks.
    First-max argmax in natural frequency order rides a static permuted
    index constant (bit-reversed block map), preserving the reference's
-   lowest-index tie rule (``LoRaDetector.hpp:53``).
- * N = 16384 (factored, the wide receiver): two-stage 128 x 128
-   factorization — both matmul stages already full-lane.
+   lowest-index tie rule (``LoRaDetector.hpp:53``).  Replaced the r2/r3
+   two-stage matmul factorization at every size it ran (sf10 packet path
+   140 -> 115 ns/sym; 16384-bin wide detection 4.8 -> 3.7 us/sym at sf12,
+   measured on-chip), so that path was removed.
 
 Oversampling (osr > 1) rides the same kernel: the caller splits the stream
 into its ``osr`` decimation-phase copies (a reshape — total HBM bytes are
@@ -41,8 +42,8 @@ phase 0.
 
 The wide receiver (``models/modem.py::demodulate_wide``) reuses this kernel
 at full rate: its (N*osr)-point detection IS the osr == 1 kernel with
-``n = N*osr`` (factored DFT, n1 = n/128 up to 128), so BW-250/500 packets
-never fall back to jnp either.
+``n = N*osr`` (hybrid DFT, up to 7 DIF passes at 16384), so BW-250/500
+packets never fall back to jnp either.
 
 The timing-shift clamp semantics match ``phy.cpp:209-216`` exactly: with
 |t_off| <= step, symbol 0 falls back to its unshifted window when
@@ -59,7 +60,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dft import _dft_mats, _twiddle
+from .dft import _dft_mats
 
 __all__ = ["rx_window_detect", "rx_supported", "PALLAS_RX_MAX_N",
            "PALLAS_RX_MAX_WIDE"]
@@ -72,16 +73,13 @@ _VMEM_BUDGET = 15 * 1024 * 1024     # leave headroom below the ~16 MiB VMEM
 
 
 def _table_bytes(ndft: int) -> int:
-    """Resident DFT-constant bytes by _dft_mode (dense cos/sin pairs,
-    hybrid base tables + twiddle rows + nat map, factored digit tables)."""
+    """Resident DFT-constant bytes by _dft_mode (dense cos/sin pairs, or
+    hybrid base tables + twiddle rows + nat map)."""
     if ndft <= 512:
         return 2 * ndft * ndft * 4
-    if ndft <= 4096:
-        passes = (ndft // _HYBRID_BASE).bit_length() - 1
-        return (2 * _HYBRID_BASE * _HYBRID_BASE * 4
-                + 2 * passes * ndft * 4 + ndft * 4)
-    n1 = ndft // 128
-    return (2 * n1 * n1 + 2 * 128 * 128 + 2 * n1 * 128) * 4
+    passes = (ndft // _HYBRID_BASE).bit_length() - 1
+    return (2 * _HYBRID_BASE * _HYBRID_BASE * 4
+            + 2 * passes * ndft * 4 + ndft * 4)
 
 
 def _vmem_ok(ndft: int, osr_k: int, s_real: int) -> bool:
@@ -89,16 +87,20 @@ def _vmem_ok(ndft: int, osr_k: int, s_real: int) -> bool:
 
     Model calibrated against Mosaic's scoped-vmem accounting: the two
     slab planes are double-buffered by the automatic pipeline (4x one
-    plane) and the DFT holds ~6 live (rows, ndft) f32 temporaries
-    (ar/ai scratch + stage outputs) plus the resident constant tables;
-    a measured 16384-point, 40-row config peaked at 27.8 MiB =
-    4 x 3.15 + 5.8 x 2.62."""
+    plane) and the DFT holds live (rows, ndft) f32 temporaries (ar/ai
+    scratch + DIF roll/butterfly temps + stage outputs) plus the
+    resident constant tables.  Six live rows-units are validated
+    on-chip through ndft = 4096 (Mosaic reuses the per-pass roll temps);
+    at 16384 a measured s_pad = 16 config peaked at 16.76 MiB against
+    the 16 MiB scoped limit, which back-solves to ~10 live units — the
+    coefficient steps up there, capping the wide chunk at 6 symbols."""
     s_pad = _round_up(max(s_real, 1), 8)
     srows = _round_up(s_pad + 3, 8)
     p_tile = _packets_per_tile(ndft)
     slab_plane = p_tile * osr_k * srows * ndft * 4
     rows_unit = p_tile * s_pad * ndft * 4
-    return (4 * slab_plane + 6 * rows_unit + _table_bytes(ndft)
+    live_units = 6 if ndft <= 4096 else 10
+    return (4 * slab_plane + live_units * rows_unit + _table_bytes(ndft)
             < _VMEM_BUDGET)
 
 
@@ -130,31 +132,23 @@ def _packets_per_tile(n: int) -> int:
     return max(1, 2048 // n)
 
 
-def _rx_factors(n: int) -> tuple[int, int]:
-    """n1 * n2 = n with n2 = 128 so both matmul stages keep full lanes."""
-    n2 = min(n, 128)
-    return n // n2, n2
-
-
 def _dft_mode(n: int) -> str:
     """In-kernel DFT strategy by size.
 
     * ``dense``  (n <= 512): one (n, n) matmul, full MXU.
-    * ``hybrid`` (1024 <= n <= 4096): log2(n/128) radix-2 DIF passes on
+    * ``hybrid`` (1024 <= n <= 16384): log2(n/128) radix-2 DIF passes on
       the VPU (lane-tile-aligned rolls + selects, no transposes), then a
       full-width (rows*n1, 128) x (128, 128) MXU matmul.  Replaces the
-      two-matmul factorization whose stage-1 operand was only n/128 in
-      {8,16,32} rows — the MXU ran ~6% occupied and two sublane
-      transposes bracketed it (the r3 sf10 cliff: 140 ns/sym vs sf9's
-      53 for 2x the samples).
-    * ``factored`` (n = 16384, the wide receiver): the 128 x 128
-      two-stage factorization — both matmul stages full-lane already.
+      r2/r3 two-matmul digit factorization at every size it ran: at
+      1024-4096 that path's stage-1 operand was only n/128 in {8,16,32}
+      rows (MXU ~6% occupied, two sublane transposes — the r3 sf10
+      cliff: 140 ns/sym vs sf9's 53 for 2x the samples); at 16384 (the
+      wide receiver) hybrid measured 3.7 vs 4.8 us/sym on-chip.
     """
     if n <= 512:
         return "dense"
-    if n <= 4096:
-        return "hybrid"
-    return "factored"
+    assert n <= 16384, n
+    return "hybrid"
 
 
 _HYBRID_BASE = 128      # final-block DFT size: dense (128, 128) MXU matmul
@@ -210,10 +204,10 @@ def _dft_mag_argmax(ar, ai, mats, n: int, rows: int, mode: str):
 
     ``ar``/``ai`` are (rows, n) dechirped windows already in VMEM; ``mats``
     are the loaded DFT constant arrays (dense: [cos, sin]; hybrid:
-    [c128, s128, twr, twi, nat]; factored: [c1, s1, c2, s2, tc, ts]).
-    Shared by the packet RX kernel and the streaming-scan kernel —
-    identical math, identical lowest-index tie rule (LoRaDetector.hpp:53).
-    Returns (idx, max_val, total) each (rows, 1).
+    [c128, s128, twr, twi, nat]).  Shared by the packet RX kernel and the
+    streaming-scan kernel — identical math, identical lowest-index tie
+    rule (LoRaDetector.hpp:53).  Returns (idx, max_val, total) each
+    (rows, 1).
     """
     if mode == "dense":
         cm, sm = mats
@@ -227,95 +221,49 @@ def _dft_mag_argmax(ar, ai, mats, n: int, rows: int, mode: str):
         total = jnp.sum(mag2, axis=-1, keepdims=True)
         return idx, max_val, total
 
-    if mode == "hybrid":
-        # radix-2 DIF passes down to base-point blocks: every slice/roll
-        # is lane-tile aligned (block halves are >= 128 lanes), so the
-        # passes are pure full-width VPU work — no transposes, no gathers
-        cm, sm, twr_all, twi_all, nat_c = mats
-        base = _HYBRID_BASE
-        n1 = n // base
-        passes = n1.bit_length() - 1
-        lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        xr, xi = ar, ai
-        b = n
-        for s in range(passes):
-            h = b // 2
-            even = lax.rem(lane, b) < h               # (1, n) mask
-            fr = pltpu.roll(xr, n - h, axis=1)        # [p] -> x[p + h]
-            fi = pltpu.roll(xi, n - h, axis=1)
-            br_ = pltpu.roll(xr, h, axis=1)           # [p] -> x[p - h]
-            bi_ = pltpu.roll(xi, h, axis=1)
-            twr = twr_all[s][None, :]
-            twi = twi_all[s][None, :]
-            dr = br_ - xr
-            di = bi_ - xi
-            xr = jnp.where(even, xr + fr, dr * twr - di * twi)
-            xi = jnp.where(even, xi + fi, dr * twi + di * twr)
-            b = h
-        # base-point DFTs of all blocks at once: full-MXU matmul
-        zr = xr.reshape(rows * n1, base)
-        zi = xi.reshape(rows * n1, base)
-        yr = (jnp.dot(zr, cm, preferred_element_type=jnp.float32)
-              + jnp.dot(zi, sm, preferred_element_type=jnp.float32))
-        yi = (jnp.dot(zi, cm, preferred_element_type=jnp.float32)
-              - jnp.dot(zr, sm, preferred_element_type=jnp.float32))
-        mag2 = (yr * yr + yi * yi).reshape(rows, n)   # bit-reversed blocks
-        max_val = jnp.max(mag2, axis=-1, keepdims=True)
-        total = jnp.sum(mag2, axis=-1, keepdims=True)
-        # first-max in natural frequency order via the static nat map
-        hit = mag2 == max_val
-        idx = jnp.min(jnp.where(hit, nat_c, n), axis=-1, keepdims=True)
-        return idx, max_val, total
-
-    n1, n2 = _rx_factors(n)
-    c1, s1, c2, s2, tc_m, ts_m = mats
-    # (rows, n1, n2) -> (n1, rows, n2): sublane transpose, lanes intact
-    x3r = jnp.transpose(ar.reshape(rows, n1, n2), (1, 0, 2))
-    x3i = jnp.transpose(ai.reshape(rows, n1, n2), (1, 0, 2))
-    x2r = x3r.reshape(n1, rows * n2)
-    x2i = x3i.reshape(n1, rows * n2)
-    # stage 1: left-matmul over n1 -> Y[k1, (r, b)]
-    yr = (jnp.dot(c1, x2r, preferred_element_type=jnp.float32)
-          + jnp.dot(s1, x2i, preferred_element_type=jnp.float32))
-    yi = (jnp.dot(c1, x2i, preferred_element_type=jnp.float32)
-          - jnp.dot(s1, x2r, preferred_element_type=jnp.float32))
-    y3r = yr.reshape(n1, rows, n2)
-    y3i = yi.reshape(n1, rows, n2)
-    tc = tc_m[:, None, :]                            # (n1, 1, n2) twiddles
-    ts = ts_m[:, None, :]
-    br = (y3r * tc + y3i * ts).reshape(n1 * rows, n2)
-    bi = (y3i * tc - y3r * ts).reshape(n1 * rows, n2)
-    # stage 2: contract the n2 lane axis -> X[(k1, r), k2]
-    xr = (jnp.dot(br, c2, preferred_element_type=jnp.float32)
-          + jnp.dot(bi, s2, preferred_element_type=jnp.float32))
-    xi = (jnp.dot(bi, c2, preferred_element_type=jnp.float32)
-          - jnp.dot(br, s2, preferred_element_type=jnp.float32))
-    m3 = (xr * xr + xi * xi).reshape(n1, rows, n2)
-    # back to row-major (rows, n1, n2): sublane transpose, so all
-    # remaining reductions shrink the lane/minor axes (clean layouts)
-    mag2 = jnp.transpose(m3, (1, 0, 2))
-    max_val = jnp.max(jnp.max(mag2, axis=2), axis=1, keepdims=True)
-    total = jnp.sum(jnp.sum(mag2, axis=2), axis=1, keepdims=True)
-    # first-max over natural bin order: minimize k2*n1 + k1 among maxima
-    k1i = lax.broadcasted_iota(jnp.int32, (rows, n1, n2), 1)
-    k2i = lax.broadcasted_iota(jnp.int32, (rows, n1, n2), 2)
-    nat = k2i * n1 + k1i
-    hit = mag2 == max_val[..., None]                  # (rows,1,1) broadcast
-    idx = jnp.min(jnp.min(jnp.where(hit, nat, n), axis=2), axis=1,
-                  keepdims=True)                      # (rows, 1)
+    assert mode == "hybrid", mode
+    # radix-2 DIF passes down to base-point blocks: every slice/roll
+    # is lane-tile aligned (block halves are >= 128 lanes), so the
+    # passes are pure full-width VPU work — no transposes, no gathers
+    cm, sm, twr_all, twi_all, nat_c = mats
+    base = _HYBRID_BASE
+    n1 = n // base
+    passes = n1.bit_length() - 1
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    xr, xi = ar, ai
+    b = n
+    for s in range(passes):
+        h = b // 2
+        even = lax.rem(lane, b) < h               # (1, n) mask
+        fr = pltpu.roll(xr, n - h, axis=1)        # [p] -> x[p + h]
+        fi = pltpu.roll(xi, n - h, axis=1)
+        br_ = pltpu.roll(xr, h, axis=1)           # [p] -> x[p - h]
+        bi_ = pltpu.roll(xi, h, axis=1)
+        twr = twr_all[s][None, :]
+        twi = twi_all[s][None, :]
+        dr = br_ - xr
+        di = bi_ - xi
+        xr = jnp.where(even, xr + fr, dr * twr - di * twi)
+        xi = jnp.where(even, xi + fi, dr * twi + di * twr)
+        b = h
+    # base-point DFTs of all blocks at once: full-MXU matmul
+    zr = xr.reshape(rows * n1, base)
+    zi = xi.reshape(rows * n1, base)
+    yr = (jnp.dot(zr, cm, preferred_element_type=jnp.float32)
+          + jnp.dot(zi, sm, preferred_element_type=jnp.float32))
+    yi = (jnp.dot(zi, cm, preferred_element_type=jnp.float32)
+          - jnp.dot(zr, sm, preferred_element_type=jnp.float32))
+    mag2 = (yr * yr + yi * yi).reshape(rows, n)   # bit-reversed blocks
+    max_val = jnp.max(mag2, axis=-1, keepdims=True)
+    total = jnp.sum(mag2, axis=-1, keepdims=True)
+    # first-max in natural frequency order via the static nat map
+    hit = mag2 == max_val
+    idx = jnp.min(jnp.where(hit, nat_c, n), axis=-1, keepdims=True)
     return idx, max_val, total
 
 
 def _dft_const_arrays(n: int, mode: str):
     """Host DFT constant arrays for the in-kernel DFT (by _dft_mode)."""
-    if mode == "factored":
-        n1, n2 = _rx_factors(n)
-        c1, s1 = map(jnp.asarray, _dft_mats(n1))
-        c2, s2 = map(jnp.asarray, _dft_mats(n2))
-        tc_np, ts_np = _twiddle(n1, n2)              # (n2, n1) -> (n1, n2)
-        tc = jnp.asarray(np.ascontiguousarray(tc_np.T))
-        ts = jnp.asarray(np.ascontiguousarray(ts_np.T))
-        return [c1, s1, c2, s2, tc, ts]
     if mode == "hybrid":
         cm, sm = map(jnp.asarray, _dft_mats(_HYBRID_BASE))
         twr, twi, nat = _hybrid_consts(n)
@@ -363,7 +311,7 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
     mat_out_refs: DFT constants, VMEM scratch, then the three outputs
     (idx, pow, pav) each (P, s_pad, 1).
     """
-    n_mats = {"dense": 2, "hybrid": 5, "factored": 6}[mode]
+    n_mats = {"dense": 2, "hybrid": 5}[mode]
     mat_refs = mat_out_refs[:n_mats]
     (idx_ref, pow_ref, pav_ref, ar_scr, ai_scr,
      *slab_scr) = mat_out_refs[n_mats:]

@@ -26,8 +26,9 @@ decimates the stream to the phase-0 grid once (an XLA strided slice) and
 the kernel runs pure osr == 1 semantics on it.
 
 Arithmetic intensity: each sample feeds ``phases`` windows at 8*n (dense)
-or 8*(n1+n2) (factored) MXU flops per window-sample — thousands of flops
-per HBM byte, so the kernel is compute-bound and the stream is read once.
+or ~8*128 + DIF passes (hybrid) MXU flops per window-sample — thousands
+of flops per HBM byte, so the kernel is compute-bound and the stream is
+read once.
 """
 from __future__ import annotations
 

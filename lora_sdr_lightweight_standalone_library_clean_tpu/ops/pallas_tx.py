@@ -357,7 +357,7 @@ def _tx_osr_mult(sf: int, bw_scale: int, osr: int, s_total: int,
     integer residues in float64.  Also returns (wtc, wts) (1, q) wrap
     tone and whether gating is statically needed."""
     n = 1 << sf
-    bs, nn = bw_scale, n * osr * 1
+    bs = bw_scale
     nn = n * osr
     d = n * osr * osr
     b = n * osr
