@@ -605,7 +605,7 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
         else:
             for c in (48, 32, 24, 16, 8, 6):
                 if c < total and wide_supported(n, osr, platform=plat,
-                                                s_real=c + 2):
+                                                s_real=c + 2, s_detect=c):
                     chunk = c
                     break
     if backend == "pallas_rx" and not chunk:
@@ -639,11 +639,13 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
                 h0 = 1 if a > 0 else 0
                 h1 = 1 if b < total else 0
                 sl = slice((a - h0) * step, (b + h1) * step)
-                ci, cp, cv = rx_window_detect(
+                # halos feed the kernel's slab for the timing shift but
+                # are excluded from DFT + detection (they were detected
+                # and discarded before — ~25% wasted work per chunk)
+                parts.append(rx_window_detect(
                     iq_r[..., sl], iq_i[..., sl], tc, rate,
-                    scale[..., 0], w, zpad, params, wide=True)
-                parts.append(tuple(x[..., h0:h0 + (b - a)]
-                                   for x in (ci, cp, cv)))
+                    scale[..., 0], w, zpad, params, wide=True,
+                    halo=(h0, h1)))
             d_idx, d_pow, d_pav = (jnp.concatenate(xs, axis=-1)
                                    for xs in zip(*parts))
         from ..ops.detect import DetectResult

@@ -82,7 +82,8 @@ def _table_bytes(ndft: int) -> int:
             + 2 * passes * ndft * 4 + ndft * 4)
 
 
-def _vmem_ok(ndft: int, osr_k: int, s_real: int) -> bool:
+def _vmem_ok(ndft: int, osr_k: int, s_real: int,
+             s_detect: int | None = None) -> bool:
     """Peak VMEM estimate of one grid step fits the scoped limit.
 
     Model calibrated against Mosaic's scoped-vmem accounting: the two
@@ -92,10 +93,13 @@ def _vmem_ok(ndft: int, osr_k: int, s_real: int) -> bool:
     resident constant tables.  Six live rows-units are validated
     on-chip through ndft = 4096 (Mosaic reuses the per-pass roll temps);
     at 16384 a measured s_pad = 16 config peaked at 16.76 MiB against
-    the 16 MiB scoped limit, which back-solves to ~10 live units — the
-    coefficient steps up there, capping the wide chunk at 6 symbols."""
-    s_pad = _round_up(max(s_real, 1), 8)
-    srows = _round_up(s_pad + 3, 8)
+    the 16 MiB scoped limit, which back-solves to ~10 live units.  The
+    DFT rows scale with ``s_detect`` (detected rows), the slab with
+    ``s_real`` (stream rows incl. chunk halos)."""
+    if s_detect is None:
+        s_detect = s_real
+    s_pad = _round_up(max(s_detect, 1), 8)
+    srows = _round_up(_round_up(max(s_real, 1), 8) + 3, 8)
     p_tile = _packets_per_tile(ndft)
     slab_plane = p_tile * osr_k * srows * ndft * 4
     rows_unit = p_tile * s_pad * ndft * 4
@@ -114,12 +118,16 @@ def rx_supported(n: int, osr: int, platform: str | None = None,
 
 
 def wide_supported(n: int, osr: int, platform: str | None = None,
-                   s_real: int = 8) -> bool:
-    """True when the full-rate wide detection (n*osr bins) fits the kernel."""
+                   s_real: int = 8, s_detect: int | None = None) -> bool:
+    """True when the full-rate wide detection (n*osr bins) fits the kernel.
+
+    ``s_real`` counts stream symbol rows per call (halos included);
+    ``s_detect`` the rows actually detected (chunk halos excluded — they
+    only size the slab, not the DFT scratch)."""
     if platform is None:
         platform = jax.default_backend()
     return (n * osr <= PALLAS_RX_MAX_WIDE and platform == "tpu"
-            and _vmem_ok(n * osr, 1, s_real))
+            and _vmem_ok(n * osr, 1, s_real, s_detect))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -273,7 +281,8 @@ def _dft_const_arrays(n: int, mode: str):
     return [cm, sm]
 
 
-def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real):
+def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real,
+                     h0=0):
     """Timing-shifted windows of one packet's slab (phy.cpp:209-216).
 
     ``slab`` is the packet's decimation-phase-``t mod osr`` plane
@@ -283,22 +292,29 @@ def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real):
     One sublane roll + one lane roll + one select.  ``slab0`` is the
     phase-0 plane: the reference's edge clamp falls back to the
     *unshifted* base (phy.cpp:209-216), which decimates at phase 0.
+
+    ``h0`` skips the first h0 stream rows: windows emitted are
+    s = h0 .. h0 + s_pad - 1 (the chunked wide receiver's lead halo —
+    rows that only provide neighbor samples, not detections).  The edge
+    clamp keys on the *stream* row index, so packet-edge semantics
+    survive chunking: interior chunks (halos on both sides) never hit
+    stream rows 0 / s_real-1 inside the emitted range.
     """
     rowoff = (q - qm) // ndft                       # floor(q/ndft): -1|0|1
     lane_shift = lax.rem(ndft - qm, ndft)
-    row_shift = lax.rem(srows - (1 + rowoff), srows)
+    row_shift = lax.rem(srows - (1 + rowoff + h0), srows)
     r = pltpu.roll(pltpu.roll(slab, row_shift, axis=0), lane_shift, axis=1)
     j = lax.broadcasted_iota(jnp.int32, (s_pad, ndft), 1)
     w = jnp.where(j < ndft - qm, r[0:s_pad], r[1:1 + s_pad])
     # edge clamp: symbol 0 unshifted when t<0, symbol s_real-1 when t>0
-    row = lax.broadcasted_iota(jnp.int32, (s_pad, ndft), 0)
+    row = h0 + lax.broadcasted_iota(jnp.int32, (s_pad, ndft), 0)
     clamp = ((row == 0) & (t < 0)) | ((row == s_real - 1) & (t > 0))
-    return jnp.where(clamp, slab0[1:1 + s_pad], w)
+    return jnp.where(clamp, slab0[1 + h0:1 + h0 + s_pad], w)
 
 
 def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
                *mat_out_refs, n: int, osr: int, s_pad: int, s_real: int,
-               p_tile: int, mode: str, padded: bool):
+               p_tile: int, mode: str, padded: bool, h0: int = 0):
     """One grid step = ``p_tile`` packets.
 
     t/rate/scale: whole (B,) arrays in SMEM, indexed b = step*P + p.
@@ -310,6 +326,8 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
     mr/mi: (1, n) combined down-chirp * window multiplier.
     mat_out_refs: DFT constants, VMEM scratch, then the three outputs
     (idx, pow, pav) each (P, s_pad, 1).
+    ``h0``: lead rows to skip (chunked wide receiver halos — they feed
+    the slab but are not detected; s_pad covers only detected rows).
     """
     n_mats = {"dense": 2, "hybrid": 5}[mode]
     mat_refs = mat_out_refs[:n_mats]
@@ -366,9 +384,9 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
             slab_i = sl_i[...]
             slab_r0, slab_i0 = slab_r, slab_i
         wr = _shifted_windows(slab_r, slab_r0, t, q, qm, srows, n, s_pad,
-                              s_real)
+                              s_real, h0)
         wi = _shifted_windows(slab_i, slab_i0, t, q, qm, srows, n, s_pad,
-                              s_real)
+                              s_real, h0)
         ar_scr[p * s_pad:(p + 1) * s_pad, :] = wr
         ai_scr[p * s_pad:(p + 1) * s_pad, :] = wi
         # rotation phase (phy.cpp:218-225): rate * (s*n + t/osr + i),
@@ -421,12 +439,16 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "osr", "s_real", "interpret"))
+    static_argnames=("n", "osr", "s_real", "halo", "interpret"))
 def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
-             *, n: int, osr: int, s_real: int, interpret: bool):
+             *, n: int, osr: int, s_real: int, interpret: bool,
+             halo: tuple = (0, 0)):
     b = stream_r.shape[0]
-    s_pad = _round_up(s_real, 8)
-    srows = _round_up(s_pad + 3, 8)
+    h0, h1 = halo
+    assert h0 >= 0 and h1 >= 0 and (halo == (0, 0) or osr == 1)
+    nd = s_real - h0 - h1          # detected rows (halos feed slabs only)
+    s_pad = _round_up(nd, 8)
+    srows = _round_up(_round_up(s_real, 8) + 3, 8)
     total_len = s_real * n * osr
     assert stream_r.shape[-1] == total_len
 
@@ -469,7 +491,7 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
 
     kernel = functools.partial(
         _rx_kernel, n=n, osr=osr, s_pad=s_pad, s_real=s_real,
-        p_tile=p_tile, mode=mode, padded=padded)
+        p_tile=p_tile, mode=mode, padded=padded, h0=h0)
     slab_spec = pl.BlockSpec((p_tile, osr, slab_rows, n),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -508,11 +530,12 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
     idx = idx.reshape(b_pad, s_pad)
     pw = pw.reshape(b_pad, s_pad)
     pav = pav.reshape(b_pad, s_pad)
-    return (idx[:b, :s_real], pw[:b, :s_real], pav[:b, :s_real])
+    return (idx[:b, :nd], pw[:b, :nd], pav[:b, :nd])
 
 
 def rx_window_detect(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
-                     params, *, wide: bool = False, interpret: bool = False):
+                     params, *, wide: bool = False, interpret: bool = False,
+                     halo: tuple = (0, 0)):
     """Fused RX: timing-shifted windows + dechirp/window + DFT + detect.
 
     Args:
@@ -529,9 +552,14 @@ def rx_window_detect(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
       wide: detect over the full-rate (n*osr)-point grid (the injective
         BW-250/500 receiver, models/modem.py::demodulate_wide) instead of
         the reference's decimated n-point grid.
+      halo: (lead, trail) stream symbol rows that only supply neighbor
+        samples for the timing shift and are NOT detected — the chunked
+        wide receiver's halos, which would otherwise pay full DFT +
+        argmax work per chunk just to be sliced off (wide osr_k == 1
+        only).
 
     Returns:
-      (index, power_db, noise_db) each (..., S) matching
+      (index, power_db, noise_db) each (..., S - lead - trail) matching
       ops/detect.py::detect_ri semantics (first-max argmax ties).
     """
     step = params.step
@@ -542,10 +570,12 @@ def rx_window_detect(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
     assert mult_r.shape[-1] == ndft
     lead = stream_r.shape[:-1]
     s_real = stream_r.shape[-1] // step
+    nd = s_real - halo[0] - halo[1]
     bsz = int(np.prod(lead)) if lead else 1
     sr = stream_r.reshape(bsz, s_real * step)
     si = stream_i.reshape(bsz, s_real * step)
     out = _rx_call(sr, si, t_off.reshape(bsz), rate.reshape(bsz),
                    scale.reshape(bsz), mult_r, mult_i,
-                   n=ndft, osr=osr_k, s_real=s_real, interpret=interpret)
-    return tuple(o.reshape(lead + (s_real,)) for o in out)
+                   n=ndft, osr=osr_k, s_real=s_real, interpret=interpret,
+                   halo=tuple(halo))
+    return tuple(o.reshape(lead + (nd,)) for o in out)

@@ -302,6 +302,53 @@ def test_tx_kernel_matches_mxu_modulate(sf):
                                atol=4e-6, rtol=0)
 
 
+@pytest.mark.slow
+def test_wide_symbol_chunking_with_halo_skip_matches_single_shot():
+    """The symbol-chunked wide path (1-symbol halos feeding the slab but
+    excluded from DFT/detection via rx_window_detect's ``halo``) returns
+    identical detections to the single-shot kernel, including packets
+    with a timing shift that makes edge windows read into halo rows."""
+    import lora_sdr_lightweight_standalone_library_clean_tpu.ops.pallas_rx as prx
+    p = L.LoraParams(sf=9, bw=250_000, osr=2)
+    rng = np.random.default_rng(7)
+    B, nsym = 2, 14
+    syms = rng.integers(0, p.n, (B, nsym)).astype(np.uint16)
+    re, im = L.modulate(syms, p)
+    dr, di = L.dechirp(re, im, p)
+    dr = np.asarray(dr) + rng.standard_normal(dr.shape).astype(np.float32) * 0.01
+    di = np.asarray(di) + rng.standard_normal(di.shape).astype(np.float32) * 0.01
+    # inject a timing offset so shifted windows actually cross chunk
+    # boundaries (|t| < step)
+    dr = np.roll(dr, 37, axis=-1)
+    di = np.roll(di, 37, axis=-1)
+
+    orig_rwd = prx.rx_window_detect
+    orig_ws = prx.wide_supported
+    calls = []
+    try:
+        prx.rx_window_detect = lambda *a, **k: calls.append(
+            k.get("halo", (0, 0))) or orig_rwd(
+            *a, **{**k, "interpret": True})
+        want = L.demodulate_wide(jnp.asarray(dr), jnp.asarray(di), p,
+                                 backend="pallas_rx")
+        # force the chunked path: reject anything above 8 slab rows
+        prx.wide_supported = lambda n, osr, platform=None, s_real=8, \
+            s_detect=None: orig_ws(n, osr, platform="tpu", s_real=s_real,
+                                   s_detect=s_detect) and s_real <= 8
+        calls.clear()
+        got = L.demodulate_wide(jnp.asarray(dr), jnp.asarray(di), p,
+                                backend="pallas_rx")
+    finally:
+        prx.rx_window_detect = orig_rwd
+        prx.wide_supported = orig_ws
+    # the chunked run really used lead/trail halos
+    assert (0, 1) in calls and (1, 1) in calls and (1, 0) in calls, calls
+    np.testing.assert_array_equal(np.asarray(got.symbols),
+                                  np.asarray(want.symbols))
+    np.testing.assert_array_equal(np.asarray(got.sync_word),
+                                  np.asarray(want.sync_word))
+
+
 @pytest.mark.parametrize("sf,bw,osr", [
     (9, 250_000, 2),    # wide profile: q = 512 dense, wrap tone == 1
     (12, 500_000, 4),   # wide profile: q = 4096 factored, wrap tone == 1
