@@ -71,6 +71,10 @@ PALLAS_RX_MAX_WIDE = 16384      # full-rate wide detection size (2^sf * osr)
 
 _VMEM_BUDGET = 15 * 1024 * 1024     # leave headroom below the ~16 MiB VMEM
 
+_ABLATE: set = set()    # perf-dissection knob (tests/bench only): trace-time
+                        # flags {"noshift", "norot", "nodft"} gut kernel
+                        # stages to attribute time; results are WRONG
+
 
 def _table_bytes(ndft: int) -> int:
     """Resident DFT-constant bytes by _dft_mode (dense cos/sin pairs, or
@@ -368,6 +372,16 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
         tm_os = lax.rem(lax.rem(t, osr) + osr, osr) if osr > 1 else 0
         q = (t - tm_os) // osr if osr > 1 else t
         qm = lax.rem(lax.rem(q, n) + n, n)
+        if "nocopy" in _ABLATE:
+            # raw block -> windows scratch directly, no slab scratch hop
+            ar_scr[p * s_pad:p * s_pad + s_real, :] = sr_ref[p, 0]
+            ai_scr[p * s_pad:p * s_pad + s_real, :] = si_ref[p, 0]
+            rate = rate_ref[b]
+            t_frac = t.astype(jnp.float32) * np.float32(1.0 / osr)
+            rph_scr[p * s_pad:(p + 1) * s_pad] = (
+                rate * (s_col * np.float32(n) + t_frac))
+            lph_scr[p:p + 1] = rate * i_lane
+            continue
         if padded:
             slab_r0 = sr_ref[p, 0]
             slab_i0 = si_ref[p, 0]
@@ -383,10 +397,14 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
             slab_r = sl_r[...]
             slab_i = sl_i[...]
             slab_r0, slab_i0 = slab_r, slab_i
-        wr = _shifted_windows(slab_r, slab_r0, t, q, qm, srows, n, s_pad,
-                              s_real, h0)
-        wi = _shifted_windows(slab_i, slab_i0, t, q, qm, srows, n, s_pad,
-                              s_real, h0)
+        if "noshift" in _ABLATE:
+            wr = slab_r[1 + h0:1 + h0 + s_pad]
+            wi = slab_i[1 + h0:1 + h0 + s_pad]
+        else:
+            wr = _shifted_windows(slab_r, slab_r0, t, q, qm, srows, n,
+                                  s_pad, s_real, h0)
+            wi = _shifted_windows(slab_i, slab_i0, t, q, qm, srows, n,
+                                  s_pad, s_real, h0)
         ar_scr[p * s_pad:(p + 1) * s_pad, :] = wr
         ai_scr[p * s_pad:(p + 1) * s_pad, :] = wi
         # rotation phase (phy.cpp:218-225): rate * (s*n + t/osr + i),
@@ -398,6 +416,10 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
         lph_scr[p:p + 1] = rate * i_lane                   # (1, n)
 
     rows = p_tile * s_pad
+    if "norot" in _ABLATE:
+        _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref,
+                        pav_ref, n, rows, mode)
+        return
     # Pass 2 (batched): trig over all packets at once, static multiplier
     # folded into the lane factor, per-packet scale folded into the row
     # factor (everything is linear), then one full-width complex rotation.
@@ -423,9 +445,21 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
         ar_scr[s0:s0 + s_pad, :] = wr * cr - wi * ci
         ai_scr[s0:s0 + s_pad, :] = wr * ci + wi * cr
 
+    _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref, pav_ref,
+                    n, rows, mode)
+
+
+def _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref, pav_ref,
+                    n, rows, mode):
+    """Kernel tail: DFT + argmax + dB epilogue (or the _ABLATE stub)."""
     ar = ar_scr[...]                                 # (P*s_pad, n)
     ai = ai_scr[...]
-
+    if "nodft" in _ABLATE:
+        s = jnp.sum(ar * ar + ai * ai, axis=-1, keepdims=True)
+        idx_ref[0] = s.astype(jnp.int32)
+        pow_ref[0] = s
+        pav_ref[0] = s
+        return
     mats = [m[...] for m in mat_refs]
     idx, max_val, total = _dft_mag_argmax(ar, ai, mats, n, rows, mode)
 
