@@ -71,9 +71,14 @@ PALLAS_RX_MAX_WIDE = 16384      # full-rate wide detection size (2^sf * osr)
 
 _VMEM_BUDGET = 15 * 1024 * 1024     # leave headroom below the ~16 MiB VMEM
 
-_ABLATE: set = set()    # perf-dissection knob (tests/bench only): trace-time
-                        # flags {"noshift", "norot", "nodft"} gut kernel
-                        # stages to attribute time; results are WRONG
+_ABLATE: set = set()    # perf-dissection knob (tests/bench only): flags
+                        # {"nocopy", "noshift", "norot", "nodft"} gut kernel
+                        # stages to attribute time; results are WRONG.  Read
+                        # once per call in rx_window_detect and threaded into
+                        # _rx_call as a *static jit argument*, so every
+                        # ablation state compiles its own executable and a
+                        # previously-compiled ablated variant can never leak
+                        # into non-ablated calls (ADVICE r4 #1).
 
 
 def _table_bytes(ndft: int) -> int:
@@ -318,7 +323,8 @@ def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real,
 
 def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
                *mat_out_refs, n: int, osr: int, s_pad: int, s_real: int,
-               p_tile: int, mode: str, padded: bool, h0: int = 0):
+               p_tile: int, mode: str, padded: bool, h0: int = 0,
+               ablate: frozenset = frozenset()):
     """One grid step = ``p_tile`` packets.
 
     t/rate/scale: whole (B,) arrays in SMEM, indexed b = step*P + p.
@@ -372,7 +378,7 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
         tm_os = lax.rem(lax.rem(t, osr) + osr, osr) if osr > 1 else 0
         q = (t - tm_os) // osr if osr > 1 else t
         qm = lax.rem(lax.rem(q, n) + n, n)
-        if "nocopy" in _ABLATE:
+        if "nocopy" in ablate:
             # raw block -> windows scratch directly, no slab scratch hop
             ar_scr[p * s_pad:p * s_pad + s_real, :] = sr_ref[p, 0]
             ai_scr[p * s_pad:p * s_pad + s_real, :] = si_ref[p, 0]
@@ -397,7 +403,7 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
             slab_r = sl_r[...]
             slab_i = sl_i[...]
             slab_r0, slab_i0 = slab_r, slab_i
-        if "noshift" in _ABLATE:
+        if "noshift" in ablate:
             wr = slab_r[1 + h0:1 + h0 + s_pad]
             wi = slab_i[1 + h0:1 + h0 + s_pad]
         else:
@@ -416,9 +422,9 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
         lph_scr[p:p + 1] = rate * i_lane                   # (1, n)
 
     rows = p_tile * s_pad
-    if "norot" in _ABLATE:
+    if "norot" in ablate:
         _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref,
-                        pav_ref, n, rows, mode)
+                        pav_ref, n, rows, mode, ablate)
         return
     # Pass 2 (batched): trig over all packets at once, static multiplier
     # folded into the lane factor, per-packet scale folded into the row
@@ -446,15 +452,15 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
         ai_scr[s0:s0 + s_pad, :] = wr * ci + wi * cr
 
     _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref, pav_ref,
-                    n, rows, mode)
+                    n, rows, mode, ablate)
 
 
 def _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref, pav_ref,
-                    n, rows, mode):
+                    n, rows, mode, ablate=frozenset()):
     """Kernel tail: DFT + argmax + dB epilogue (or the _ABLATE stub)."""
     ar = ar_scr[...]                                 # (P*s_pad, n)
     ai = ai_scr[...]
-    if "nodft" in _ABLATE:
+    if "nodft" in ablate:
         s = jnp.sum(ar * ar + ai * ai, axis=-1, keepdims=True)
         idx_ref[0] = s.astype(jnp.int32)
         pow_ref[0] = s
@@ -473,10 +479,10 @@ def _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref, pav_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "osr", "s_real", "halo", "interpret"))
+    static_argnames=("n", "osr", "s_real", "halo", "interpret", "ablate"))
 def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
              *, n: int, osr: int, s_real: int, interpret: bool,
-             halo: tuple = (0, 0)):
+             halo: tuple = (0, 0), ablate: frozenset = frozenset()):
     b = stream_r.shape[0]
     h0, h1 = halo
     assert h0 >= 0 and h1 >= 0 and (halo == (0, 0) or osr == 1)
@@ -525,7 +531,7 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
 
     kernel = functools.partial(
         _rx_kernel, n=n, osr=osr, s_pad=s_pad, s_real=s_real,
-        p_tile=p_tile, mode=mode, padded=padded, h0=h0)
+        p_tile=p_tile, mode=mode, padded=padded, h0=h0, ablate=ablate)
     slab_spec = pl.BlockSpec((p_tile, osr, slab_rows, n),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -611,5 +617,5 @@ def rx_window_detect(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
     out = _rx_call(sr, si, t_off.reshape(bsz), rate.reshape(bsz),
                    scale.reshape(bsz), mult_r, mult_i,
                    n=ndft, osr=osr_k, s_real=s_real, interpret=interpret,
-                   halo=tuple(halo))
+                   halo=tuple(halo), ablate=frozenset(_ABLATE))
     return tuple(o.reshape(lead + (nd,)) for o in out)

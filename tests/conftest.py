@@ -16,12 +16,16 @@ os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
 # of per-test stalls (and hanging a run outright on a dropped
 # connection).  Overriding the env var before any backend initializes
 # keeps the whole suite on the local CPU platform (measured ~8x faster
-# per test on this box).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# per test on this box).  A user pointing the suite at real hardware
+# (e.g. JAX_PLATFORMS=tpu to run the kernel tests on-chip) is honored:
+# only the unset/tunnel-pinned cases are overridden (ADVICE r4 #5).
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat in (None, "", "axon"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
