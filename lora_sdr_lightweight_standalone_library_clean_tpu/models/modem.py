@@ -603,11 +603,15 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
         if wide_supported(n, osr, platform=plat, s_real=total):
             chunk = total
         else:
-            # chunk sizes are 6 mod 8 so every chunked call's slab is
-            # s_real = chunk + 2 rows — a whole number of sublane tiles,
-            # which keeps the kernel's dynamic row rotate off its
-            # zero-row alignment pad (ops/pallas_rx.py::
-            # _shifted_windows_direct)
+            # largest chunk the (deliberately conservative) VMEM model
+            # clears: 14 at 16384 bins, 30 at 8192.  Composition matters
+            # more than per-call time here — a batch-32 16384-bin
+            # program measured 2.2 us/sym at chunk 14 vs 2.8 at r4's
+            # chunk 6, while chunk 22 oomed in some surrounding
+            # programs; and 2-row edge halos (an r5 experiment to keep
+            # slabs tile-aligned) slowed the composed program 2.4x with
+            # per-call times unchanged, so halos stay at 1 row and the
+            # kernel zero-pads odd slabs internally.
             for c in (62, 46, 30, 22, 14, 6):
                 if c < total and wide_supported(n, osr, platform=plat,
                                                 s_real=c + 2, s_detect=c):
@@ -651,13 +655,8 @@ def demodulate_wide(iq_r, iq_i, params: LoraParams,
                 # call's s_real a multiple of 8 (sublane tiles) wherever
                 # the stream has rows to spare: first chunk trails 2
                 # halo rows, the last pads its lead instead.
-                if b < total:
-                    h0 = 1 if a > 0 else 0
-                    h1 = min(2 - h0, total - b)
-                else:                     # last chunk: extend the lead
-                    nd = b - a
-                    h0 = min((-nd) % 8 or 8, a)
-                    h1 = 0
+                h0 = 1 if a > 0 else 0
+                h1 = 1 if b < total else 0
                 sl = slice((a - h0) * step, (b + h1) * step)
                 parts.append(rx_window_detect(
                     iq_r[..., sl], iq_i[..., sl], tc, rate,

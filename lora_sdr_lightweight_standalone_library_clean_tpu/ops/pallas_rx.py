@@ -118,14 +118,22 @@ def _vmem_ok(ndft: int, osr_k: int, s_real: int,
     rows_unit = p_tile * s_pad * ndft * 4
     live_units = 6 if ndft <= 4096 else 2
     if osr_k == 1:
-        # direct-roll window path: no slab scratch; in-spec planes are
-        # the raw (s_real, ndft) blocks.  6 plane-units: the automatic
-        # pipeline was measured holding up to ~3 buffers per input at
-        # larger grids (a batch-32 16384-bin config allocated ~2.9 MiB
-        # more than the same shape at batch 16 — r5 probes)
+        # in-spec planes are the raw (s_real, ndft) blocks.  The
+        # automatic pipeline's buffer count is *context dependent*: a
+        # 16384-bin s_real = 24 config compiled at batch 16 but oomed at
+        # batch 32, and the same shapes oomed or not depending on the
+        # surrounding XLA program (r5 probes) — so the wide (> 4096)
+        # sizes budget 8 plane-units to stay clear of the cliff in every
+        # observed context (chunk 14 composes at 2.2 us/sym vs the r4
+        # chunk-6 2.8, while chunk 22 sat on the cliff); <= 4096 keeps 6
+        # units (validated through every packet config) plus the slab
+        # scratch when the slab window form is selected.
         plane = p_tile * max(s_real, 1) * ndft * 4
-        return (6 * plane + live_units * rows_unit + _table_bytes(ndft)
-                < _VMEM_BUDGET)
+        plane_units = 8 if ndft > 4096 else 6
+        scratch = 0 if _direct_windows(ndft) else (
+            2 * _round_up(_round_up(max(s_real, 1), 8) + 3, 8) * ndft * 4)
+        return (plane_units * plane + live_units * rows_unit + scratch
+                + _table_bytes(ndft) < _VMEM_BUDGET)
     srows = _round_up(_round_up(max(s_real, 1), 8) + 3, 8)
     slab_plane = p_tile * osr_k * srows * ndft * 4
     return (4 * slab_plane + live_units * rows_unit + _table_bytes(ndft)
@@ -412,6 +420,18 @@ def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real,
     return jnp.where(clamp, slab0[1 + h0:1 + h0 + s_pad], w)
 
 
+def _direct_windows(ndft: int) -> bool:
+    """osr==1 window-extraction strategy by DFT size: the slab form
+    (copy into a halo'd (srows, n) scratch + one double-rotate + splice)
+    measured faster at the packet sizes — on-chip A/B, sf8 552k vs 518k
+    pps, sf9 289k vs 281k (the direct form's two double-rotates + the
+    66 -> 72-row alignment pad cost more than the slab copy) — while the
+    direct form's deleted 2 x (srows, n) VMEM scratch is what lets
+    16384-bin wide chunks grow 6 -> 14 rows (2.8 -> 2.2 us/sym composed,
+    r5).  So: slab at <= 4096, direct above."""
+    return ndft > 4096
+
+
 def _shifted_windows_direct(v, t, q, qm, s_real, ndft, rows_out, h0, h1):
     """Timing-shifted windows straight from the raw (s_real, ndft) block
     (osr == 1), without assembling a halo'd slab: two circular row+lane
@@ -473,9 +493,22 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
     (idx_ref, pow_ref, pav_ref, ar_scr, ai_scr,
      *slab_scr) = mat_out_refs[n_mats:]
 
-    lph_scr, rph_scr = slab_scr
-    srows = sr_ref.shape[2] if padded else s_real
-    rows_out = min(s_pad, s_real)    # osr==1 direct path: stored window rows
+    direct = (not padded) and _direct_windows(n)
+    if padded or direct:
+        lph_scr, rph_scr = slab_scr
+        srows = sr_ref.shape[2] if padded else s_real
+    else:
+        lph_scr, rph_scr, sl_r, sl_i = slab_scr
+        srows = sl_r.shape[0]
+        # zero the halo rows once per grid step; the p-loop only ever
+        # rewrites rows 1..1+s_real
+        zrow = jnp.zeros((1, n), jnp.float32)
+        sl_r[0:1] = zrow
+        sl_i[0:1] = zrow
+        for r in range(1 + s_real, srows):
+            sl_r[r:r + 1] = zrow
+            sl_i[r:r + 1] = zrow
+    rows_out = min(s_pad, s_real)    # direct path: stored window rows
     g = pl.program_id(0)
     mr = mr_ref[0][None, :]
     mi = mi_ref[0][None, :]
@@ -524,7 +557,7 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
                                       s_pad, s_real, h0)
             ar_scr[p * s_pad:(p + 1) * s_pad, :] = wr
             ai_scr[p * s_pad:(p + 1) * s_pad, :] = wi
-        else:
+        elif direct:
             # osr == 1: shifted windows straight off the raw block —
             # no slab assembly, no halo rows (_shifted_windows_direct)
             v_r = sr_ref[p, 0]
@@ -540,6 +573,23 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
                                              rows_out, h0, h1)
             ar_scr[p * s_pad:p * s_pad + rows_out, :] = wr
             ai_scr[p * s_pad:p * s_pad + rows_out, :] = wi
+        else:
+            # osr == 1 slab form (A/B alternative, _direct_windows):
+            # assemble the halo'd slab in VMEM scratch
+            sl_r[1:1 + s_real] = sr_ref[p, 0]
+            sl_i[1:1 + s_real] = si_ref[p, 0]
+            slab_r = sl_r[...]
+            slab_i = sl_i[...]
+            if "noshift" in ablate:
+                wr = slab_r[1 + h0:1 + h0 + s_pad]
+                wi = slab_i[1 + h0:1 + h0 + s_pad]
+            else:
+                wr = _shifted_windows(slab_r, slab_r, t, q, qm, srows, n,
+                                      s_pad, s_real, h0)
+                wi = _shifted_windows(slab_i, slab_i, t, q, qm, srows, n,
+                                      s_pad, s_real, h0)
+            ar_scr[p * s_pad:(p + 1) * s_pad, :] = wr
+            ai_scr[p * s_pad:(p + 1) * s_pad, :] = wi
         # rotation phase (phy.cpp:218-225): rate * (s*n + t/osr + i),
         # separable as e^{j rate (sn + t/osr)} (x) e^{j rate i}
         rate = rate_ref[b]
@@ -688,7 +738,10 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
             pltpu.VMEM((rows, n), jnp.float32),
             pltpu.VMEM((p_tile, n), jnp.float32),     # lane rotation phases
             pltpu.VMEM((rows, 1), jnp.float32),       # row rotation phases
-        ],
+        ] + ([] if padded or _direct_windows(n) else [
+            pltpu.VMEM((srows, n), jnp.float32),
+            pltpu.VMEM((srows, n), jnp.float32),
+        ]),
         interpret=interpret,
     )(t_off.astype(jnp.int32), rate.astype(jnp.float32),
       scale.astype(jnp.float32), pr, pi,

@@ -341,8 +341,14 @@ def test_wide_symbol_chunking_with_halo_skip_matches_single_shot():
     finally:
         prx.rx_window_detect = orig_rwd
         prx.wide_supported = orig_ws
-    # the chunked run really used lead/trail halos
-    assert (0, 1) in calls and (1, 1) in calls and (1, 0) in calls, calls
+    # the chunked run really used lead/trail halos: the first chunk has
+    # no lead, the last no trail, interiors both; widths vary (the r5
+    # scheme sizes halos so each call's slab is a whole number of
+    # sublane tiles where the stream allows)
+    assert len(calls) >= 3, calls
+    assert calls[0][0] == 0 and calls[0][1] >= 1, calls
+    assert calls[-1][0] >= 1 and calls[-1][1] == 0, calls
+    assert all(c[0] >= 1 and c[1] >= 1 for c in calls[1:-1]), calls
     np.testing.assert_array_equal(np.asarray(got.symbols),
                                   np.asarray(want.symbols))
     np.testing.assert_array_equal(np.asarray(got.sync_word),
