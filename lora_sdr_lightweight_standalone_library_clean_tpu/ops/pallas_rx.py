@@ -117,25 +117,27 @@ def _vmem_ok(ndft: int, osr_k: int, s_real: int,
     p_tile = _packets_per_tile(ndft)
     rows_unit = p_tile * s_pad * ndft * 4
     live_units = 6 if ndft <= 4096 else 2
-    if osr_k == 1:
-        # in-spec planes are the raw (s_real, ndft) blocks.  The
-        # automatic pipeline's buffer count is *context dependent*: a
-        # 16384-bin s_real = 24 config compiled at batch 16 but oomed at
-        # batch 32, and the same shapes oomed or not depending on the
-        # surrounding XLA program (r5 probes) — so the wide (> 4096)
-        # sizes budget 8 plane-units to stay clear of the cliff in every
-        # observed context (chunk 14 composes at 2.2 us/sym vs the r4
-        # chunk-6 2.8, while chunk 22 sat on the cliff); <= 4096 keeps 6
-        # units (validated through every packet config) plus the slab
-        # scratch when the slab window form is selected.
+    if osr_k == 1 and _direct_windows(ndft):
+        # direct-roll form (> 4096): in-spec planes are the raw
+        # (s_real, ndft) blocks, no slab scratch.  The automatic
+        # pipeline's buffer count is *context dependent*: a 16384-bin
+        # s_real = 24 config compiled at batch 16 but oomed at batch 32,
+        # and the same shapes oomed or not depending on the surrounding
+        # XLA program (r5 probes) — so budget 8 plane-units to stay
+        # clear of the cliff in every observed context (chunk 14
+        # composes at 2.2 us/sym vs the r4 chunk-6 2.8, while chunk 22
+        # sat on the cliff).
         plane = p_tile * max(s_real, 1) * ndft * 4
-        plane_units = 8 if ndft > 4096 else 6
-        scratch = 0 if _direct_windows(ndft) else (
-            2 * _round_up(_round_up(max(s_real, 1), 8) + 3, 8) * ndft * 4)
-        return (plane_units * plane + live_units * rows_unit + scratch
-                + _table_bytes(ndft) < _VMEM_BUDGET)
+        return (8 * plane + live_units * rows_unit + _table_bytes(ndft)
+                < _VMEM_BUDGET)
+    # slab form (<= 4096, and all osr > 1): the r4-calibrated
+    # accounting, validated on-chip through every packet config —
+    # srows-based planes over-count the in-spec buffering by about what
+    # the uncounted 2 x (srows, ndft) slab scratch adds (an sf12 66-row
+    # config that double-counting rejected fell back to the jnp path
+    # and cost 5x, r5)
     srows = _round_up(_round_up(max(s_real, 1), 8) + 3, 8)
-    slab_plane = p_tile * osr_k * srows * ndft * 4
+    slab_plane = p_tile * max(osr_k, 1) * srows * ndft * 4
     return (4 * slab_plane + live_units * rows_unit + _table_bytes(ndft)
             < _VMEM_BUDGET)
 
