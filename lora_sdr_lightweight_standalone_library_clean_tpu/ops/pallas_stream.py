@@ -65,11 +65,11 @@ _AUTO_CACHE: dict = {}
 # (10.4 vs 10.1 Gsamp/s) and gated at n >= 256, but the r4-final bench
 # itself measured the kernel ahead (10.5 vs 9.1) — the race is within
 # run-to-run variance at n == 128 and the hardcoded loser cost ~8%
-# (VERDICT r4 weak #4).  r5 re-measurement (logs/bench CSV
-# stream_scan rows): kernel 10.7 vs jnp 9.2 Gsamp/s at sf7 stride/4,
-# kernel ahead at every n — so the static gate now takes the kernel
-# whenever it is eligible, and the first concrete-array call
-# self-corrects via the cached race anyway.
+# (VERDICT r4 weak #4).  r5 final bench (logs/performance_run.csv
+# stream_scan rows): kernel 11.76 vs jnp 9.39 Gsamp/s at sf7 stride/4
+# and 10.59 vs 2.83 at sf12 — kernel ahead at every n — so the static
+# gate now takes the kernel whenever it is eligible, and the first
+# concrete-array call self-corrects via the cached race anyway.
 _STATIC_KERNEL_MIN_N = 128
 
 
