@@ -640,11 +640,15 @@ def main():
     try:
         from lora_sdr_lightweight_standalone_library_clean_tpu.parallel             .streaming import race_stream_backends
         p0 = L.params_from_profile(profiles[0])
+        winner = ""
         if jax.default_backend() == "tpu":
-            race_stream_backends(p0, max(p0.step // 4, 1))
+            winner = race_stream_backends(p0, max(p0.step // 4, 1))
         a7 = bench_stream(p0)
         stream_rows["stream_scan_sf7_auto"] = dict(sf=7, pps=a7)
-        row = f"stream_scan sf7 stride/4: {a7:,.0f} Msamples/s"
+        row = (f"stream_scan sf7 stride/4: {a7:,.0f} Msamples/s"
+               + (f" [race picked {winner}; auto-vs-{winner} spread is "
+                  f"measurement-order noise — same executable]"
+                  if winner else ""))
         if not args.quick:
             k7 = bench_stream(p0, backend="pallas")
             j7 = bench_stream(p0, backend="jnp")
