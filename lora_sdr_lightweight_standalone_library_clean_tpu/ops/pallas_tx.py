@@ -282,7 +282,7 @@ def _tx_osr_kernel(tone_ref, thr1_ref, thr2_ref, *rest, q: int,
     thresholds in within-chunk lane units.
     """
     if factored:
-        (w1c_ref, w1s_ref, w2c_ref, w2s_ref, wtc_ref, wts_ref,
+        (w1c_ref, w1s_ref, w2c_ref, w2s_ref, e_ref, wtc_ref, wts_ref,
          mr_ref, mi_ref, re_ref, im_ref, oh_scr) = rest
         n1 = w1c_ref.shape[1]
         n2 = 128
@@ -313,12 +313,15 @@ def _tx_osr_kernel(tone_ref, thr1_ref, thr2_ref, *rest, q: int,
         im_ref[0] = c * mi + s_ * mr
         return
 
-    # factored tone synthesis over modulus q (512 < q <= 4096): identical
-    # digit assembly to _tx_kernel_factored (w2 columns pre-rolled, last
-    # lane takes w1 from column m1+1), plus the per-block gate/multiplier
+    # factored tone synthesis over modulus q (512 < q <= 4096): digit
+    # assembly as in _tx_kernel_factored (w2 columns pre-rolled, last
+    # lane takes w1 from column m1+1), but FULL WIDTH: the per-block w1
+    # factor expands to (r_tile, q) through one one-hot expansion matmul
+    # (e_ref bakes the last-lane m1+1 carry), and the q/128-iteration
+    # per-block loop of single-lane-tile VPU ops — measured
+    # instruction-bound at q = 4096 — becomes ~8 full-width ops.
+    # Arithmetic is value-identical to the loop form.
     lane_1 = lax.broadcasted_iota(jnp.int32, (r_tile, 128), 1)
-    lane_2 = lax.broadcasted_iota(jnp.int32, (r_tile, n2), 1)
-    last = lane_2 == (n2 - 1)
     oh_scr[...] = (lane == t).astype(jnp.float32)
     f2c = jnp.dot(oh_scr[...], w2c_ref[...],
                   preferred_element_type=jnp.float32)       # (r_tile, n2)
@@ -329,24 +332,27 @@ def _tx_osr_kernel(tone_ref, thr1_ref, thr2_ref, *rest, q: int,
                   preferred_element_type=jnp.float32)       # (r_tile, n1)
     f1s = jnp.dot(oh1, w1s_ref[...],
                   preferred_element_type=jnp.float32)
-    for m1 in range(n1):
-        m1n = (m1 + 1) % n1
-        gc = jnp.where(last, f1c[:, m1n:m1n + 1], f1c[:, m1:m1 + 1])
-        gs = jnp.where(last, f1s[:, m1n:m1n + 1], f1s[:, m1:m1 + 1])
-        tc = gc * f2c - gs * f2s                     # (r_tile, n2)
-        ts = gc * f2s + gs * f2c
-        if gated:
-            base = m1 * n2
-            wtc = wtc_ref[0, base:base + n2][None, :]
-            wts = wts_ref[0, base:base + n2][None, :]
-            for thr in (thr1, thr2):
-                g = lane_2 >= (thr - base)
-                tc, ts = (jnp.where(g, tc * wtc - ts * wts, tc),
-                          jnp.where(g, tc * wts + ts * wtc, ts))
-        mr = mr_ref[:, m1 * n2:(m1 + 1) * n2]        # (r_tile, n2)
-        mi = mi_ref[:, m1 * n2:(m1 + 1) * n2]
-        re_ref[0, :, m1, :] = tc * mr - ts * mi
-        im_ref[0, :, m1, :] = tc * mi + ts * mr
+    gc = jnp.dot(f1c, e_ref[...],
+                 preferred_element_type=jnp.float32)        # (r_tile, q)
+    gs = jnp.dot(f1s, e_ref[...],
+                 preferred_element_type=jnp.float32)
+    f2c_w = jnp.broadcast_to(f2c[:, None, :],
+                             (r_tile, n1, n2)).reshape(r_tile, q)
+    f2s_w = jnp.broadcast_to(f2s[:, None, :],
+                             (r_tile, n1, n2)).reshape(r_tile, q)
+    tc = gc * f2c_w - gs * f2s_w                     # (r_tile, q)
+    ts = gc * f2s_w + gs * f2c_w
+    if gated:
+        wtc = wtc_ref[0][None, :]
+        wts = wts_ref[0][None, :]
+        for thr in (thr1, thr2):
+            g = lane >= thr
+            tc, ts = (jnp.where(g, tc * wtc - ts * wts, tc),
+                      jnp.where(g, tc * wts + ts * wtc, ts))
+    mr = mr_ref[...]                                 # (r_tile, q)
+    mi = mi_ref[...]
+    re_ref[0] = tc * mr - ts * mi
+    im_ref[0] = tc * mi + ts * mr
 
 
 @functools.lru_cache(maxsize=None)
@@ -443,17 +449,25 @@ def _tx_call_osr(symbols, *, sf: int, osr: int, bs: int, s_total: int,
         w1s_p = np.zeros((128, n1), np.float32)
         w1c_p[:n1] = w1c
         w1s_p[:n1] = w1s
+        # one-hot expansion matrix: lane m1*n2 + j takes w1 column m1
+        # (j < n2-1) or m1+1 mod n1 (the last lane's carry)
+        e = np.zeros((n1, q), np.float32)
+        for m1 in range(n1):
+            e[m1, m1 * n2:m1 * n2 + n2 - 1] = 1.0
+            e[(m1 + 1) % n1, m1 * n2 + n2 - 1] = 1.0
         tabs = [jnp.asarray(w1c_p), jnp.asarray(w1s_p),
                 jnp.asarray(np.roll(w2c, -1, axis=1)),
-                jnp.asarray(np.roll(w2s, -1, axis=1))]
+                jnp.asarray(np.roll(w2s, -1, axis=1)),
+                jnp.asarray(e)]
         tab_specs = [pl.BlockSpec((128, n1), lambda i, j: (0, 0),
                                   memory_space=pltpu.VMEM)] * 2 + \
                     [pl.BlockSpec((q, n2), lambda i, j: (0, 0),
-                                  memory_space=pltpu.VMEM)] * 2
-        out_spec = pl.BlockSpec((1, r_tile, n1, n2),
-                                lambda i, j: (i, j, 0, 0),
+                                  memory_space=pltpu.VMEM)] * 2 + \
+                    [pl.BlockSpec((n1, q), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_spec = pl.BlockSpec((1, r_tile, q), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((bcount, r_pad, n1, n2),
+        out_shape = [jax.ShapeDtypeStruct((bcount, r_pad, q),
                                           jnp.float32)] * 2
     else:
         wc, ws = (jnp.asarray(a) for a in _tx_tone_tables(q))
