@@ -117,9 +117,9 @@ def _vmem_ok(ndft: int, osr_k: int, s_real: int,
     p_tile = _packets_per_tile(ndft)
     rows_unit = p_tile * s_pad * ndft * 4
     live_units = 6 if ndft <= 4096 else 2
-    if osr_k == 1 and _direct_windows(ndft):
-        # direct-roll form (> 4096): in-spec planes are the raw
-        # (s_real, ndft) blocks, no slab scratch.  The automatic
+    if osr_k == 1 and _direct_windows(ndft) and ndft > 4096:
+        # direct-roll form above 4096 (wide chunks): in-spec planes are
+        # the raw (s_real, ndft) blocks, no slab scratch.  The automatic
         # pipeline's buffer count is *context dependent*: a 16384-bin
         # s_real = 24 config compiled at batch 16 but oomed at batch 32,
         # and the same shapes oomed or not depending on the surrounding
@@ -130,12 +130,18 @@ def _vmem_ok(ndft: int, osr_k: int, s_real: int,
         plane = p_tile * max(s_real, 1) * ndft * 4
         return (8 * plane + live_units * rows_unit + _table_bytes(ndft)
                 < _VMEM_BUDGET)
-    # slab form (<= 4096, and all osr > 1): the r4-calibrated
-    # accounting, validated on-chip through every packet config —
+    # <= 4096 (both osr == 1 forms) and all osr > 1: the r4-calibrated
+    # slab accounting, validated on-chip through every packet config —
     # srows-based planes over-count the in-spec buffering by about what
     # the uncounted 2 x (srows, ndft) slab scratch adds (an sf12 66-row
     # config that double-counting rejected fell back to the jnp path
-    # and cost 5x, r5)
+    # and cost 5x, r5).  The direct form's osr == 1 in-spec block is the
+    # SAME (p_tile, 1, s_real, n) plane the slab form streams, and it
+    # drops the slab's 2 x (srows, n) scratch — strictly less VMEM — so
+    # any config this model admits for the slab form is safe for the
+    # direct form too (on-chip confirmed at the sf12 66-row config the
+    # 8-plane wide model wrongly rejected, r5: 33.1k pps direct vs
+    # 32.2k slab).
     srows = _round_up(_round_up(max(s_real, 1), 8) + 3, 8)
     slab_plane = p_tile * max(osr_k, 1) * srows * ndft * 4
     return (4 * slab_plane + live_units * rows_unit + _table_bytes(ndft)
@@ -422,24 +428,36 @@ def _shifted_windows(slab, slab0, t, q, qm, srows, ndft, s_pad, s_real,
     return jnp.where(clamp, slab0[1 + h0:1 + h0 + s_pad], w)
 
 
+_DIRECT_MIN = int(os.environ.get("LORA_RX_DIRECT_MIN", "1"))
+
+
 def _direct_windows(ndft: int) -> bool:
-    """osr==1 window-extraction strategy by DFT size: the slab form
-    (copy into a halo'd (srows, n) scratch + one double-rotate + splice)
-    measured faster at the packet sizes — on-chip A/B, sf8 552k vs 518k
-    pps, sf9 289k vs 281k (the direct form's two double-rotates + the
-    66 -> 72-row alignment pad cost more than the slab copy) — while the
-    direct form's deleted 2 x (srows, n) VMEM scratch is what lets
+    """osr==1 window-extraction strategy: the direct form (windows
+    spliced straight off the raw block, one circular row+lane roll per
+    component, "next row" as a static slice) wins at EVERY size since
+    the r5 b-from-a slice halved its roll count — on-chip A/B vs the
+    slab form (copy into a halo'd (srows, n) scratch + one double-rotate
+    + splice): sf7 1,004k vs 973k pps, sf8 571k vs 556k, sf9 297k vs
+    284k, sf10 136k vs 132k, sf11 67.8k vs 66.7k, sf12 33.1k vs 32.2k.
+    (Before that change the slab form won at packet sizes — its copy was
+    cheaper than the direct form's then-two double-rotates.)  The direct
+    form's deleted 2 x (srows, n) VMEM scratch is also what lets
     16384-bin wide chunks grow 6 -> 14 rows (2.8 -> 2.2 us/sym composed,
-    r5).  So: slab at <= 4096, direct above."""
-    return ndft > 4096
+    r5).  The slab form remains the osr > 1 path (decimation-phase
+    slabs) and as this A/B knob: LORA_RX_DIRECT_MIN (import-time)."""
+    return ndft >= _DIRECT_MIN
 
 
 def _shifted_windows_direct(v, t, q, qm, s_real, ndft, rows_out, h0, h1):
     """Timing-shifted windows straight from the raw (s_real, ndft) block
-    (osr == 1), without assembling a halo'd slab: two circular row+lane
-    rolls splice each window from its two source rows.  Out-of-range row
-    reads wrap circularly into garbage rows, but every window that reads
-    one is exactly a window the reference's edge clamp overwrites
+    (osr == 1), without assembling a halo'd slab: ONE circular row+lane
+    roll per component splices each window from its two source rows —
+    the "next row" operand ``b[i] = a[(i+1) mod sp8]`` is a static slice
+    of the rolled plane (both are circular rolls of the same block, so
+    the identity holds bit-exactly including the wrap row; this halved
+    the r5 direct form's roll count).  Out-of-range row reads wrap
+    circularly into garbage rows, but every window that reads one is
+    exactly a window the reference's edge clamp overwrites
     (phy.cpp:209-216: symbol 0 falls back to unshifted when t < 0,
     symbol s_real-1 when t > 0), so the clamp both enforces reference
     semantics AND masks the wrap — the r4 slab copy + halo-row zeroing
@@ -459,9 +477,11 @@ def _shifted_windows_direct(v, t, q, qm, s_real, ndft, rows_out, h0, h1):
         z = jnp.zeros((sp8 - s_real, ndft), v.dtype)
         v = jnp.concatenate([v, z], axis=0)
     k1 = lax.rem(sp8 - (h0 + rowoff), sp8)          # a[i] = v[i + h0 + rowoff]
-    k2 = lax.rem(k1 + sp8 - 1, sp8)                 # b[i] = a[i + 1]
     a = pltpu.roll(pltpu.roll(v, k1, axis=0), lane_shift, axis=1)
-    b = pltpu.roll(pltpu.roll(v, k2, axis=0), lane_shift, axis=1)
+    if rows_out + 1 <= sp8:
+        b = a[1:rows_out + 1]                       # b[i] = a[i + 1]
+    else:                                           # rows_out == sp8: wrap row
+        b = jnp.concatenate([a[1:sp8], a[0:1]], axis=0)
     j = lax.broadcasted_iota(jnp.int32, (rows_out, ndft), 1)
     w = jnp.where(j < ndft - qm, a[0:rows_out], b[0:rows_out])
     if h0 == 0 or h1 == 0:

@@ -393,3 +393,44 @@ def test_tx_osr_kernel_matches_vpu_modulate(sf, bw, osr):
                                atol=4e-6, rtol=0)
     np.testing.assert_allclose(np.asarray(fi), np.asarray(di),
                                atol=4e-6, rtol=0)
+
+
+@pytest.mark.parametrize("sf", [7, 10])
+def test_rx_kernel_slab_form_matches_direct(sf):
+    """The osr == 1 slab window form (the LORA_RX_DIRECT_MIN A/B
+    alternative; since r5 the direct form is the default at every size)
+    must keep producing the direct form's detections.  The form is not a
+    jit static arg — it is an import-time knob — so the caches are
+    cleared around the forced-slab call to keep either form's compiled
+    executable from leaking into the other's configs."""
+    import lora_sdr_lightweight_standalone_library_clean_tpu.ops.pallas_rx as prx
+    from lora_sdr_lightweight_standalone_library_clean_tpu.ops.pallas_rx import (
+        rx_window_detect)
+    p = L.LoraParams(sf=sf)
+    n, step = p.n, p.step
+    rng = np.random.default_rng(40 + sf)
+    B = 4
+    payloads = rng.integers(0, 256, (B, 8)).astype(np.uint8)
+    re, im = L.modulate(L.encode(payloads), p)
+    dr, di = L.dechirp(re, im, p)
+    S = np.asarray(dr).shape[-1] // step
+    t_off = rng.integers(-step, step + 1, B).astype(np.int32)
+    t_off[:3] = [0, step, -step]
+    rate = (rng.standard_normal(B) * 1e-4).astype(np.float32)
+    scale = rng.uniform(0.5, 1.0, B).astype(np.float32)
+    args = (jnp.asarray(dr), jnp.asarray(di), jnp.asarray(t_off),
+            jnp.asarray(rate), jnp.asarray(scale),
+            jnp.ones(n, jnp.float32), jnp.zeros(n, jnp.float32), p)
+
+    want = rx_window_detect(*args, interpret=True)
+    old = prx._DIRECT_MIN
+    try:
+        jax.clear_caches()
+        prx._DIRECT_MIN = 10 ** 9           # force the slab form
+        assert not prx._direct_windows(n)
+        got = rx_window_detect(*args, interpret=True)
+    finally:
+        prx._DIRECT_MIN = old
+        jax.clear_caches()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
