@@ -66,9 +66,10 @@ _AUTO_CACHE: dict = {}
 # itself measured the kernel ahead (10.5 vs 9.1) — the race is within
 # run-to-run variance at n == 128 and the hardcoded loser cost ~8%
 # (VERDICT r4 weak #4).  r5 final bench (logs/performance_run.csv
-# stream_scan rows): kernel 11.76 vs jnp 9.39 Gsamp/s at sf7 stride/4
-# and 10.59 vs 2.83 at sf12 — kernel ahead at every n — so the static
-# gate now takes the kernel whenever it is eligible, and the first
+# stream_scan rows): kernel 11.07 vs jnp 8.94 Gsamp/s at sf7 stride/4
+# and 9.96 vs 2.80 at sf12 (mid-round run: 11.76/9.39 and 10.59/2.83 —
+# the ~6% band is host variance) — kernel ahead at every n — so the
+# static gate takes the kernel whenever it is eligible, and the first
 # concrete-array call self-corrects via the cached race anyway.
 _STATIC_KERNEL_MIN_N = 128
 
