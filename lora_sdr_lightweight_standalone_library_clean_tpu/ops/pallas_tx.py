@@ -65,36 +65,44 @@ def tx_supported(n: int, osr: int, platform: str | None = None,
     return rem == 0 and 128 <= q <= PALLAS_TX_MAX_N_FACTORED
 
 
-def _tx_kernel(tone_ref, wc_ref, ws_ref, mr_ref, mi_ref, re_ref, im_ref,
-               oh_scr, *, n: int, s_pad: int, s_real: int, p_tile: int,
+def _tx_kernel(tone_ref, wc_ref, ws_ref, re_ref, im_ref, oh_scr, *,
+               n: int, s_pad: int, s_real: int, p_tile: int,
                alt_sign: bool):
     """One grid step = ``p_tile`` packets.
 
     tone_ref: (P, s_pad, 1) int32 tone indices t = (sym * bs) mod n.
-    wc/ws: (n, n) tone tables w[t, m]; mr/mi: (1, n) combined
-    base-chirp * amplitude (* down-chirp) constant.
+    wc/ws: (n, n) *premultiplied* tone tables — the (1, n) combined
+    base-chirp * amplitude (* down-chirp) constant is folded into the
+    table columns by the caller (``oh @ (wc*mr - ws*mi)`` equals
+    ``(oh@wc)*mr - (oh@ws)*mi`` bit-exactly because the one-hot rows
+    are exact 0/±1), so the matmuls emit finished IQ and the old
+    full-width complex epilogue disappears.  The alternating row sign
+    rides inside the one-hot values (±1) for the same reason.
     re/im: (P, s_real, n) row-major outputs.
     """
     lane = lax.broadcasted_iota(jnp.int32, (s_pad, n), 1)
+    if alt_sign:
+        srow = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+        sgn = jnp.where(lax.rem(srow, 2) == 1, -1.0, 1.0)
+    else:
+        sgn = 1.0
     for p in range(p_tile):
         t = tone_ref[p]                              # (s_pad, 1)
-        oh_scr[p * s_pad:(p + 1) * s_pad, :] = (
-            lane == t).astype(jnp.float32)
+        oh_scr[p * s_pad:(p + 1) * s_pad, :] = jnp.where(
+            lane == t, sgn, 0.0)
     oh = oh_scr[...]                                 # (P*s_pad, n)
-    c = jnp.dot(oh, wc_ref[...], preferred_element_type=jnp.float32)
-    s_ = jnp.dot(oh, ws_ref[...], preferred_element_type=jnp.float32)
-    mr = mr_ref[0][None, :]
-    mi = mi_ref[0][None, :]
-    re = c * mr - s_ * mi
-    im = s_ * mr + c * mi
-    if alt_sign:
-        row = lax.broadcasted_iota(jnp.int32, (p_tile * s_pad, n), 0)
-        neg = lax.rem(row, 2) == 1
-        re = jnp.where(neg, -re, re)
-        im = jnp.where(neg, -im, im)
+    re = jnp.dot(oh, wc_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(oh, ws_ref[...], preferred_element_type=jnp.float32)
+    flat = re_ref.shape[0] == p_tile * s_real        # 2-D output block
     for p in range(p_tile):
-        re_ref[p] = re[p * s_pad:p * s_pad + s_real, :]
-        im_ref[p] = im[p * s_pad:p * s_pad + s_real, :]
+        rows = re[p * s_pad:p * s_pad + s_real, :]
+        rows_i = im[p * s_pad:p * s_pad + s_real, :]
+        if flat:
+            re_ref[p * s_real:(p + 1) * s_real, :] = rows
+            im_ref[p * s_real:(p + 1) * s_real, :] = rows_i
+        else:
+            re_ref[p] = rows
+            im_ref[p] = rows_i
 
 
 @functools.partial(
@@ -112,6 +120,12 @@ def _tx_call(tone, mult_r, mult_i, *, n: int, s_real: int, alt_sign: bool,
     tone3 = tone.reshape(b_pad, s_pad, 1)
 
     wc, ws = (jnp.asarray(a) for a in _tx_tone_tables(n))
+    # fold the per-sample constant into the table columns (one tiny
+    # (n, n) elementwise pass per call; see _tx_kernel docstring)
+    mr = mult_r.reshape(1, n)
+    mi = mult_i.reshape(1, n)
+    wc2 = wc * mr - ws * mi
+    ws2 = ws * mr + wc * mi
     grid = b_pad // p_tile
     kernel = functools.partial(_tx_kernel, n=n, s_pad=s_pad, s_real=s_real,
                                p_tile=p_tile, alt_sign=alt_sign)
@@ -119,22 +133,32 @@ def _tx_call(tone, mult_r, mult_i, *, n: int, s_real: int, alt_sign: bool,
                              memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((n, n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    mult_spec = pl.BlockSpec((1, n), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((p_tile, s_real, n), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
+    # 2-D output blocks whenever the sublane rule allows: Mosaic DMAs a
+    # (P, s, n) 3-D output block at ~320 GB/s on the attached v5 chip
+    # but a flat (P*s, n) 2-D block of the same bytes at ~650 GB/s
+    # (store-only probes, r5) — the grid walks contiguous row ranges of
+    # the same row-major buffer either way, so this is purely a spec
+    # change.  Needs (p_tile * s_real) % 8 == 0 (Mosaic block rule).
+    flat = (p_tile * s_real) % 8 == 0
+    if flat:
+        out_spec = pl.BlockSpec((p_tile * s_real, n), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b_pad * s_real, n), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((p_tile, s_real, n), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b_pad, s_real, n), jnp.float32)
     re, im = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[tone_spec, tab_spec, tab_spec, mult_spec, mult_spec],
+        in_specs=[tone_spec, tab_spec, tab_spec],
         out_specs=[out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, s_real, n), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, s_real, n), jnp.float32),
-        ],
+        out_shape=[out_shape, out_shape],
         scratch_shapes=[pltpu.VMEM((p_tile * s_pad, n), jnp.float32)],
         interpret=interpret,
-    )(tone3, wc, ws, mult_r.reshape(1, n), mult_i.reshape(1, n))
+    )(tone3, wc2, ws2)
+    re = re.reshape(b_pad, s_real, n)
+    im = im.reshape(b_pad, s_real, n)
     return re[:b], im[:b]
 
 
