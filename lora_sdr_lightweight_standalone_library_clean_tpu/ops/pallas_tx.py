@@ -65,34 +65,39 @@ def tx_supported(n: int, osr: int, platform: str | None = None,
     return rem == 0 and 128 <= q <= PALLAS_TX_MAX_N_FACTORED
 
 
-def _tx_kernel(tone_ref, wc_ref, ws_ref, re_ref, im_ref, oh_scr, *,
-               n: int, s_pad: int, s_real: int, p_tile: int,
-               alt_sign: bool):
+def _tx_kernel(tone_ref, sgn_ref, wc_ref, ws_ref, re_ref, im_ref, *,
+               n: int, s_pad: int, s_real: int, p_tile: int):
     """One grid step = ``p_tile`` packets.
 
-    tone_ref: (P, s_pad, 1) int32 tone indices t = (sym * bs) mod n.
+    tone_ref: (1, P*s_pad) int32 tone indices t = (sym * bs) mod n as a
+    flat packet-major lane row — a contiguous block the pipeline
+    fetches cleanly.  (The earlier (P, s_pad, 1) layout's last-dim-1
+    blocks lane-scattered into VMEM tiles at ~2.8 us per 4.6 KB step
+    and gated the whole kernel below its store bandwidth —
+    scripts/dma_floor.py probes, r5.)
+    sgn_ref: (1, P*s_pad) f32 alternating-row signs (ones when the
+    bw_scale parity needs none).
     wc/ws: (n, n) *premultiplied* tone tables — the (1, n) combined
     base-chirp * amplitude (* down-chirp) constant is folded into the
-    table columns by the caller (``oh @ (wc*mr - ws*mi)`` equals
-    ``(oh@wc)*mr - (oh@ws)*mi`` bit-exactly because the one-hot rows
-    are exact 0/±1), so the matmuls emit finished IQ and the old
-    full-width complex epilogue disappears.  The alternating row sign
-    rides inside the one-hot values (±1) for the same reason.
-    re/im: (P, s_real, n) row-major outputs.
+    table columns by the caller, and the row sign into the one-hot
+    values, bit-exactly (the one-hot entries are exact 0/±1, so scaling
+    before the matmul equals scaling after): the matmuls emit finished
+    IQ with no epilogue.  The one-hot is built TRANSPOSED,
+    ``ohT[k, L] = sgn[L] * (k == tone[L])`` with symbol rows on lanes,
+    so the flat tone row is consumed without any sublane<->lane
+    transpose; ``dot_general`` contracts the sublane dim of both
+    operands (the MXU takes either operand orientation).
+    re/im: (P, s_real, n) row-major outputs (or flat (P*s_real, n)).
     """
-    lane = lax.broadcasted_iota(jnp.int32, (s_pad, n), 1)
-    if alt_sign:
-        srow = lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
-        sgn = jnp.where(lax.rem(srow, 2) == 1, -1.0, 1.0)
-    else:
-        sgn = 1.0
-    for p in range(p_tile):
-        t = tone_ref[p]                              # (s_pad, 1)
-        oh_scr[p * s_pad:(p + 1) * s_pad, :] = jnp.where(
-            lane == t, sgn, 0.0)
-    oh = oh_scr[...]                                 # (P*s_pad, n)
-    re = jnp.dot(oh, wc_ref[...], preferred_element_type=jnp.float32)
-    im = jnp.dot(oh, ws_ref[...], preferred_element_type=jnp.float32)
+    rows_all = p_tile * s_pad
+    trow = tone_ref[0]                               # (1, rows_all)
+    sub = lax.broadcasted_iota(jnp.int32, (n, rows_all), 0)
+    ohT = jnp.where(sub == trow, sgn_ref[...], 0.0)
+    dn = (((0,), (0,)), ((), ()))                    # contract sublanes
+    re = lax.dot_general(ohT, wc_ref[...], dn,
+                         preferred_element_type=jnp.float32)
+    im = lax.dot_general(ohT, ws_ref[...], dn,
+                         preferred_element_type=jnp.float32)
     flat = re_ref.shape[0] == p_tile * s_real        # 2-D output block
     for p in range(p_tile):
         rows = re[p * s_pad:p * s_pad + s_real, :]
@@ -117,7 +122,14 @@ def _tx_call(tone, mult_r, mult_i, *, n: int, s_real: int, alt_sign: bool,
         tone = jnp.pad(tone, ((0, b_pad - b), (0, 0)))
     if s_pad != s_real:
         tone = jnp.pad(tone, ((0, 0), (0, s_pad - s_real)))
-    tone3 = tone.reshape(b_pad, s_pad, 1)
+    grid = b_pad // p_tile
+    rows_all = p_tile * s_pad
+    # flat packet-major tone rows: one contiguous (1, rows_all) lane-row
+    # fetch per grid step (see _tx_kernel docstring)
+    tone2 = tone.reshape(grid, 1, rows_all)
+    sgn_row = np.ones((1, rows_all), np.float32)
+    if alt_sign:
+        sgn_row[0] = 1.0 - 2.0 * ((np.arange(rows_all) % s_pad) % 2)
 
     wc, ws = (jnp.asarray(a) for a in _tx_tone_tables(n))
     # fold the per-sample constant into the table columns (one tiny
@@ -126,11 +138,12 @@ def _tx_call(tone, mult_r, mult_i, *, n: int, s_real: int, alt_sign: bool,
     mi = mult_i.reshape(1, n)
     wc2 = wc * mr - ws * mi
     ws2 = ws * mr + wc * mi
-    grid = b_pad // p_tile
     kernel = functools.partial(_tx_kernel, n=n, s_pad=s_pad, s_real=s_real,
-                               p_tile=p_tile, alt_sign=alt_sign)
-    tone_spec = pl.BlockSpec((p_tile, s_pad, 1), lambda i: (i, 0, 0),
+                               p_tile=p_tile)
+    tone_spec = pl.BlockSpec((1, 1, rows_all), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    sgn_spec = pl.BlockSpec((1, rows_all), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec((n, n), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     # 2-D output blocks whenever the sublane rule allows: Mosaic DMAs a
@@ -151,12 +164,11 @@ def _tx_call(tone, mult_r, mult_i, *, n: int, s_real: int, alt_sign: bool,
     re, im = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[tone_spec, tab_spec, tab_spec],
+        in_specs=[tone_spec, sgn_spec, tab_spec, tab_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[out_shape, out_shape],
-        scratch_shapes=[pltpu.VMEM((p_tile * s_pad, n), jnp.float32)],
         interpret=interpret,
-    )(tone3, wc2, ws2)
+    )(tone2, jnp.asarray(sgn_row), wc2, ws2)
     re = re.reshape(b_pad, s_real, n)
     im = im.reshape(b_pad, s_real, n)
     return re[:b], im[:b]
