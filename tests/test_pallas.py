@@ -434,3 +434,28 @@ def test_rx_kernel_slab_form_matches_direct(sf):
         jax.clear_caches()
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_tx_kernel_nonflat_output_branch():
+    """The dense TX kernel's 3-D output fallback (taken when
+    p_tile * s_real is not a sublane multiple — e.g. sf9's p_tile = 4
+    with an odd symbol count) must match the VPU closed form like the
+    flat 2-D branch does."""
+    from lora_sdr_lightweight_standalone_library_clean_tpu.ops.chirp import (
+        modulate_ri, _with_sync_prelude)
+    from lora_sdr_lightweight_standalone_library_clean_tpu.ops.pallas_tx import (
+        tx_tone_synth, _packets_per_tile, _round_up)
+    p = L.LoraParams(sf=9)
+    n_sym = 5                                  # s_total = 7 (odd)
+    s_total = n_sym + 2
+    assert (_packets_per_tile(p.n) * s_total) % 8 != 0, (
+        "test no longer exercises the non-flat branch")
+    rng = np.random.default_rng(77)
+    syms = rng.integers(0, p.n, (3, n_sym)).astype(np.uint16)
+    wr, wi = modulate_ri(syms, p, amplitude=0.75, method="vpu")
+    allsyms = _with_sync_prelude(jnp.asarray(syms, jnp.int32), p)
+    gr, gi = tx_tone_synth(allsyms, p, amplitude=0.75, interpret=True)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(wr),
+                               atol=2e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                               atol=2e-6, rtol=0)
