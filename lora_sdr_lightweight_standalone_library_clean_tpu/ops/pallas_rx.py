@@ -209,10 +209,13 @@ def _hybrid_consts(n: int):
     Returns (twr, twi, nat): ``twr/twi`` (passes, n) float32 — pass s's
     full-width twiddle row holds 1+0j on even (sum) halves and
     W_b^{local-h} = exp(-2*pi*i*(local-h)/b) on odd (difference) halves
-    (b = n >> s, h = b/2); ``nat`` (1, n) int32 maps the post-pass lane
+    (b = n >> s, h = b/2); ``nat`` (1, n) float32 maps the post-pass lane
     position t*base + m to its natural frequency m*n1 + bitrev(t), so the
     reference's lowest-index tie rule (LoRaDetector.hpp:53) survives the
-    bit-reversed block order without any data movement.  Base 128 measured
+    bit-reversed block order without any data movement (float-typed so
+    the in-kernel idx path never touches int vectors — Mosaic cannot
+    legalize int relayouts/converts for the row-layout output store;
+    bin values < 2^14 are exact in f32).  Base 128 measured
     faster than 512 on-chip (sf10 119 vs 146 ns/sym): the extra MXU
     passes of a 512-point base cost more than the two extra VPU DIF
     passes they save.
@@ -243,7 +246,7 @@ def _hybrid_consts(n: int):
             r = (r << 1) | (v & 1)
             v >>= 1
         rev[i] = r
-    nat = (m * n1 + rev[t]).astype(np.int32).reshape(1, n)
+    nat = (m * n1 + rev[t]).astype(np.float32).reshape(1, n)
     return twr, twi, nat
 
 
@@ -311,9 +314,17 @@ def _dft_mag_argmax(ar_ref, ai_ref, mats, n: int, rows: int, mode: str):
         xi = (jnp.dot(ai, cm, preferred_element_type=jnp.float32)
               - jnp.dot(ar, sm, preferred_element_type=jnp.float32))
         mag2 = xr * xr + xi * xi                     # (rows, n) natural order
-        idx = jnp.argmax(mag2, axis=-1, keepdims=True).astype(jnp.int32)
         max_val = jnp.max(mag2, axis=-1, keepdims=True)
         total = jnp.sum(mag2, axis=-1, keepdims=True)
+        # first-max as a float min over hit lanes (== argmax's first-
+        # occurrence rule); idx stays f32 in-kernel — bin values < 2^14
+        # are exact, and int relayouts/converts don't legalize in
+        # Mosaic for the (rows, 1) -> (1, rows) output transpose
+        lane_f = lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(
+            jnp.float32)
+        hit = mag2 == max_val
+        idx = jnp.min(jnp.where(hit, lane_f, np.float32(n)), axis=-1,
+                      keepdims=True)
         return idx, max_val, total
 
     assert mode == "hybrid", mode
@@ -379,8 +390,10 @@ def _dft_mag_argmax(ar_ref, ai_ref, mats, n: int, rows: int, mode: str):
     max_val = jnp.max(mag2, axis=-1, keepdims=True)
     total = jnp.sum(mag2, axis=-1, keepdims=True)
     # first-max in natural frequency order via the static nat map
+    # (float-typed — see the dense branch note on in-kernel int idx)
     hit = mag2 == max_val
-    idx = jnp.min(jnp.where(hit, nat_c, n), axis=-1, keepdims=True)
+    idx = jnp.min(jnp.where(hit, nat_c, np.float32(n)), axis=-1,
+                  keepdims=True)
     return idx, max_val, total
 
 
@@ -656,14 +669,22 @@ def _rx_kernel(t_ref, rate_ref, scale_ref, sr_ref, si_ref, mr_ref, mi_ref,
 
 def _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref, pav_ref,
                     n, rows, mode, ablate=frozenset()):
-    """Kernel tail: DFT + argmax + dB epilogue (or the _ABLATE stub)."""
+    """Kernel tail: DFT + argmax + dB epilogue (or the _ABLATE stub).
+
+    The per-row reductions come out as (rows, 1) columns; they are
+    transposed to (1, rows) lane rows before the store because a
+    last-dim-1 output block DMAs at ~3 us/step (lane-scatter) vs ~0.3
+    with the row layout incl. the in-kernel relayout (~1.4 ms/iter at
+    sf7's 512 grid steps — scripts/dma_floor.py class of probes, r5).
+    """
     if "nodft" in ablate:
         ar = ar_scr[...]                             # (P*s_pad, n)
         ai = ai_scr[...]
         s = jnp.sum(ar * ar + ai * ai, axis=-1, keepdims=True)
-        idx_ref[0] = s.astype(jnp.int32)
-        pow_ref[0] = s
-        pav_ref[0] = s
+        sr = jnp.transpose(s).reshape(1, rows)
+        idx_ref[0] = sr
+        pow_ref[0] = sr
+        pav_ref[0] = sr
         return
     mats = [m[...] for m in mat_refs]
     idx, max_val, total = _dft_mag_argmax(ar_scr, ai_scr, mats, n, rows,
@@ -672,9 +693,11 @@ def _ablated_detect(mat_refs, ar_scr, ai_scr, idx_ref, pow_ref, pav_ref,
     scale_db = np.float32(20.0 * np.log10(n))
     fund = jnp.sqrt(max_val)
     noise = jnp.sqrt(jnp.maximum(total - max_val, 0.0))
-    idx_ref[0] = idx                                  # (P*s_pad, 1) columns
-    pow_ref[0] = 20.0 * jnp.log10(fund) - scale_db
-    pav_ref[0] = 20.0 * jnp.log10(noise) - scale_db
+    idx_ref[0] = jnp.transpose(idx).reshape(1, rows)   # f32 bin index
+    pow_ref[0] = jnp.transpose(20.0 * jnp.log10(fund)
+                               - scale_db).reshape(1, rows)
+    pav_ref[0] = jnp.transpose(20.0 * jnp.log10(noise)
+                               - scale_db).reshape(1, rows)
 
 
 @functools.partial(
@@ -741,8 +764,9 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
                              memory_space=pltpu.VMEM)
     grid = b_pad // p_tile
     rows = p_tile * s_pad
-    out_dims = (grid, rows, 1)
-    out_spec = pl.BlockSpec((1, rows, 1), lambda i: (i, 0, 0),
+    # (1, rows) lane-row output blocks — see _ablated_detect
+    out_dims = (grid, 1, rows)
+    out_spec = pl.BlockSpec((1, 1, rows), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     idx, pw, pav = pl.pallas_call(
         kernel,
@@ -751,7 +775,7 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
                   mult_spec, mult_spec] + mat_specs,
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct(out_dims, jnp.int32),
+            jax.ShapeDtypeStruct(out_dims, jnp.float32),  # f32 bin idx
             jax.ShapeDtypeStruct(out_dims, jnp.float32),
             jax.ShapeDtypeStruct(out_dims, jnp.float32),
         ],
@@ -768,7 +792,7 @@ def _rx_call(stream_r, stream_i, t_off, rate, scale, mult_r, mult_i,
     )(t_off.astype(jnp.int32), rate.astype(jnp.float32),
       scale.astype(jnp.float32), pr, pi,
       mult_r.reshape(1, n), mult_i.reshape(1, n), *mats)
-    idx = idx.reshape(b_pad, s_pad)
+    idx = idx.reshape(b_pad, s_pad).astype(jnp.int32)
     pw = pw.reshape(b_pad, s_pad)
     pav = pav.reshape(b_pad, s_pad)
     return (idx[:b, :nd], pw[:b, :nd], pav[:b, :nd])

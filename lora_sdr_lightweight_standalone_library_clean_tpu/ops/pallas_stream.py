@@ -146,9 +146,13 @@ def _stream_kernel(sr_ref, si_ref, hr_ref, hi_ref, dcr_ref, dci_ref, *rest,
     scale_db = np.float32(20.0 * np.log10(n))
     fund = jnp.sqrt(max_val)
     noise = jnp.sqrt(jnp.maximum(total - max_val, 0.0))
-    idx_ref[0] = idx                                  # (rows, 1) columns
-    pow_ref[0] = 20.0 * jnp.log10(fund) - scale_db
-    pav_ref[0] = 20.0 * jnp.log10(noise) - scale_db
+    # (1, rows) lane-row stores — last-dim-1 column blocks DMA ~10x
+    # slower (ops/pallas_rx.py::_ablated_detect note)
+    idx_ref[0] = jnp.transpose(idx).reshape(1, rows)   # f32 bin index
+    pow_ref[0] = jnp.transpose(20.0 * jnp.log10(fund)
+                               - scale_db).reshape(1, rows)
+    pav_ref[0] = jnp.transpose(20.0 * jnp.log10(noise)
+                               - scale_db).reshape(1, rows)
 
 
 @functools.partial(
@@ -182,9 +186,9 @@ def _stream_call(ext_r, ext_i, dcr, dci, *, n: int, stride_d: int,
     halo_spec = pl.BlockSpec((8, n), lambda i: ((i + 1) * (r_rows // 8), 0),
                              memory_space=pltpu.VMEM)
     dc_spec = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, rows_w, 1), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, rows_w), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_dims = (grid, rows_w, 1)
+    out_dims = (grid, 1, rows_w)
 
     kernel = functools.partial(
         _stream_kernel, n=n, stride_d=stride_d, phases=phases,
@@ -196,7 +200,7 @@ def _stream_call(ext_r, ext_i, dcr, dci, *, n: int, stride_d: int,
                   dc_spec, dc_spec] + mat_specs,
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct(out_dims, jnp.int32),
+            jax.ShapeDtypeStruct(out_dims, jnp.float32),  # f32 bin idx
             jax.ShapeDtypeStruct(out_dims, jnp.float32),
             jax.ShapeDtypeStruct(out_dims, jnp.float32),
         ],
@@ -214,8 +218,8 @@ def _stream_call(ext_r, ext_i, dcr, dci, *, n: int, stride_d: int,
         x = x.reshape(grid, phases, r_rows)
         return jnp.transpose(x, (0, 2, 1)).reshape(grid * rows_w)
 
-    return (reorder(idx)[:windows], reorder(pw)[:windows],
-            reorder(pav)[:windows])
+    return (reorder(idx)[:windows].astype(jnp.int32),
+            reorder(pw)[:windows], reorder(pav)[:windows])
 
 
 def stream_window_detect(ext_r, ext_i, params, stride: int, windows: int,
